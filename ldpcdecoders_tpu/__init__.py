@@ -1,0 +1,31 @@
+"""ldpcdecoders_tpu — a TPU-native LDPC syndrome-decoding framework.
+
+Brand-new JAX/XLA/Pallas implementation with the capabilities of
+QuantumSavory/LDPCDecoders.jl (reference surveyed in SURVEY.md): Gallager
+code construction, Tanner-graph compilation, and batched sum-product BP,
+BP+OSD, iterative bit-flip, and BP-OTS decoders, designed for SPMD
+execution over TPU device meshes.
+"""
+
+from .codes import (
+    parity_check_matrix,
+    save_pcm,
+    load_pcm,
+    TannerGraph,
+    toric_code_x,
+    toric_code_z,
+    surface_code_x,
+    surface_code_z,
+    repetition_code,
+    cycle_matrix,
+    hamming_code,
+)
+from .models import (
+    Decoder,
+    DecodeStats,
+    decode,
+    batchdecode,
+    BeliefPropagationDecoder,
+)
+
+__version__ = "0.1.0"

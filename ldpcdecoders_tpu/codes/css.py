@@ -1,0 +1,160 @@
+"""Quantum CSS code parity-check constructions (host-side, NumPy).
+
+The reference package is consumed by QuantumClifford.jl's ECC module for
+quantum syndrome decoding; its own test suite exercises a distance-3 toric
+code via ``parity_matrix_x(Toric(3,3))`` (/root/reference/test/test_bpots.jl:120)
+and cycle-graph matrices with known trapping sets
+(/root/reference/test/test_bpots.jl:14-25).  We provide equivalent
+constructions natively so the framework is standalone.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "toric_code_x",
+    "toric_code_z",
+    "surface_code_x",
+    "surface_code_z",
+    "repetition_code",
+    "cycle_matrix",
+    "hamming_code",
+]
+
+
+def _edge_index(d: int):
+    """Index qubits on the edges of a d x d torus: horizontal then vertical."""
+
+    def h(i, j):  # horizontal edge at vertex (i, j)
+        return (i % d) * d + (j % d)
+
+    def v(i, j):  # vertical edge at vertex (i, j)
+        return d * d + (i % d) * d + (j % d)
+
+    return h, v
+
+
+def toric_code_x(d: int) -> np.ndarray:
+    """X-stabilizer (vertex) parity-check matrix of the d x d toric code.
+
+    2*d^2 qubits on edges, d^2 vertex stabilizers; each vertex touches the
+    four incident edges.  Every row has weight 4 and every column weight 2.
+    Equivalent in structure to QuantumClifford's ``parity_matrix_x(Toric(d,d))``.
+    """
+    h, v = _edge_index(d)
+    H = np.zeros((d * d, 2 * d * d), dtype=np.uint8)
+    for i in range(d):
+        for j in range(d):
+            s = i * d + j
+            H[s, h(i, j)] = 1
+            H[s, h(i, j - 1)] = 1
+            H[s, v(i, j)] = 1
+            H[s, v(i - 1, j)] = 1
+    return H
+
+
+def toric_code_z(d: int) -> np.ndarray:
+    """Z-stabilizer (plaquette) parity-check matrix of the d x d toric code."""
+    h, v = _edge_index(d)
+    H = np.zeros((d * d, 2 * d * d), dtype=np.uint8)
+    for i in range(d):
+        for j in range(d):
+            s = i * d + j
+            H[s, h(i, j)] = 1
+            H[s, h(i + 1, j)] = 1
+            H[s, v(i, j)] = 1
+            H[s, v(i, j + 1)] = 1
+    return H
+
+
+def surface_code_x(d: int) -> np.ndarray:
+    """X-stabilizer parity checks of the distance-d (rotated) surface code.
+
+    d^2 data qubits on a d x d grid; (d^2-1)/2 X-stabilizers on alternating
+    faces (weight 4 in the bulk, weight 2 on the boundary).
+    """
+    if d % 2 == 0:
+        raise ValueError("rotated surface code requires odd distance")
+    rows = []
+    q = lambda r, c: r * d + c
+    # bulk faces: (r, c) face between data rows r,r+1 and cols c,c+1.
+    for r in range(d - 1):
+        for c in range(d - 1):
+            if (r + c) % 2 == 0:  # X faces on even-parity plaquettes
+                row = np.zeros(d * d, dtype=np.uint8)
+                for rr, cc in ((r, c), (r, c + 1), (r + 1, c), (r + 1, c + 1)):
+                    row[q(rr, cc)] = 1
+                rows.append(row)
+    # boundary (weight-2) X checks: top and bottom edges
+    for c in range(d - 1):
+        if (0 + c) % 2 == 1:  # top boundary
+            row = np.zeros(d * d, dtype=np.uint8)
+            row[q(0, c)] = 1
+            row[q(0, c + 1)] = 1
+            rows.append(row)
+        if ((d - 2) + c) % 2 == 1:  # bottom boundary
+            row = np.zeros(d * d, dtype=np.uint8)
+            row[q(d - 1, c)] = 1
+            row[q(d - 1, c + 1)] = 1
+            rows.append(row)
+    return np.stack(rows, axis=0)
+
+
+def surface_code_z(d: int) -> np.ndarray:
+    """Z-stabilizer parity checks of the distance-d rotated surface code."""
+    if d % 2 == 0:
+        raise ValueError("rotated surface code requires odd distance")
+    rows = []
+    q = lambda r, c: r * d + c
+    for r in range(d - 1):
+        for c in range(d - 1):
+            if (r + c) % 2 == 1:  # Z faces on odd-parity plaquettes
+                row = np.zeros(d * d, dtype=np.uint8)
+                for rr, cc in ((r, c), (r, c + 1), (r + 1, c), (r + 1, c + 1)):
+                    row[q(rr, cc)] = 1
+                rows.append(row)
+    for r in range(d - 1):
+        if (r + 0) % 2 == 0:  # left boundary
+            row = np.zeros(d * d, dtype=np.uint8)
+            row[q(r, 0)] = 1
+            row[q(r + 1, 0)] = 1
+            rows.append(row)
+        if (r + (d - 2)) % 2 == 0:  # right boundary
+            row = np.zeros(d * d, dtype=np.uint8)
+            row[q(r, d - 1)] = 1
+            row[q(r + 1, d - 1)] = 1
+            rows.append(row)
+    return np.stack(rows, axis=0)
+
+
+def repetition_code(n: int) -> np.ndarray:
+    """Parity-check matrix of the length-n repetition code (n-1 checks)."""
+    H = np.zeros((n - 1, n), dtype=np.uint8)
+    for i in range(n - 1):
+        H[i, i] = 1
+        H[i, i + 1] = 1
+    return H
+
+
+def cycle_matrix(n: int) -> np.ndarray:
+    """n x n circulant with ones on the diagonal and superdiagonal (wrap).
+
+    The known-trapping-set adversarial matrix used by the reference BP-OTS
+    tests (/root/reference/test/test_bpots.jl:14-25).
+    """
+    H = np.zeros((n, n), dtype=np.uint8)
+    for j in range(n):
+        H[j, j] = 1
+        H[j, (j + 1) % n] = 1
+    return H
+
+
+def hamming_code(r: int = 3) -> np.ndarray:
+    """Parity-check matrix of the [2^r - 1, 2^r - r - 1] Hamming code."""
+    n = 2**r - 1
+    H = np.zeros((r, n), dtype=np.uint8)
+    for j in range(1, n + 1):
+        for i in range(r):
+            H[i, j - 1] = (j >> i) & 1
+    return H

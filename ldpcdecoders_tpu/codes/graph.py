@@ -1,0 +1,132 @@
+"""Tanner-graph compiler: sparse H -> fixed-shape padded edge lists.
+
+This is the TPU-native replacement for the reference's dual
+CSC-sparse-matrix representation (sparse_H / sparse_HT,
+/root/reference/src/decoders/belief_propagation.jl:52-55) and its dense
+s x n message matrices (belief_propagation.jl:11-14).
+
+Every decoder kernel operates on two *edge-message layouts*:
+
+  * check-major  ``[..., m, max_dc]`` — slot k of row i is the k-th variable
+    neighbor of check i (ascending variable index, matching the CSC
+    iteration order of the reference's ``nzrange(sparse_HT, i)``).
+  * var-major    ``[..., n, max_dv]`` — slot k of row j is the k-th check
+    neighbor of variable j (ascending check index, matching
+    ``nzrange(sparse_H, j)``).
+
+The two layouts are connected by static gather permutations computed here
+once, on the host, so device code is pure fixed-shape gathers: XLA/Pallas
+never see a sparse matrix or a dynamic shape.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+__all__ = ["TannerGraph"]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class TannerGraph:
+    """Static, padded adjacency of a parity-check matrix H (m checks, n vars).
+
+    Attributes:
+      H: ``[m, n]`` uint8 dense parity-check matrix (used for MXU syndrome
+        checks; small-integer row sums are exact in bf16/f32).
+      chk_vars: ``[m, max_dc]`` int32 — variable index of each check's k-th
+        neighbor (pad: 0).
+      chk_mask: ``[m, max_dc]`` bool — True where the slot is a real edge.
+      var_chks: ``[n, max_dv]`` int32 — check index of each variable's k-th
+        neighbor (pad: 0).
+      var_mask: ``[n, max_dv]`` bool.
+      c2v_gather: ``[m, max_dc]`` int32 — flat index into a var-major edge
+        array ``[n*max_dv]`` holding the same edge (pad: 0; mask before use).
+      v2c_gather: ``[n, max_dv]`` int32 — flat index into a check-major edge
+        array ``[m*max_dc]`` holding the same edge (pad: 0).
+    """
+
+    m: int
+    n: int
+    max_dc: int
+    max_dv: int
+    n_edges: int
+    H: np.ndarray
+    chk_vars: np.ndarray
+    chk_mask: np.ndarray
+    var_chks: np.ndarray
+    var_mask: np.ndarray
+    c2v_gather: np.ndarray
+    v2c_gather: np.ndarray
+
+    @staticmethod
+    def from_pcm(H, *, degree_multiple: int = 1) -> "TannerGraph":
+        """Compile a dense/sparse 0-1 matrix into padded edge-list form.
+
+        Args:
+          H: ``[m, n]`` array-like of 0/1.
+          degree_multiple: round padded degrees up to a multiple of this
+            (e.g. 8 to align the slot axis to TPU sublanes).
+        """
+        H = np.asarray(H)
+        if H.ndim != 2:
+            raise ValueError("H must be 2-D")
+        H = (H != 0).astype(np.uint8)
+        m, n = H.shape
+
+        chk_deg = H.sum(axis=1).astype(np.int64)
+        var_deg = H.sum(axis=0).astype(np.int64)
+        max_dc = _round_up(max(1, int(chk_deg.max())), degree_multiple)
+        max_dv = _round_up(max(1, int(var_deg.max())), degree_multiple)
+
+        chk_vars = np.zeros((m, max_dc), dtype=np.int32)
+        chk_mask = np.zeros((m, max_dc), dtype=bool)
+        var_chks = np.zeros((n, max_dv), dtype=np.int32)
+        var_mask = np.zeros((n, max_dv), dtype=bool)
+        # slot of check i within variable j's neighbor list, and vice versa
+        slot_in_var = {}
+        slot_in_chk = {}
+
+        for j in range(n):
+            nbrs = np.flatnonzero(H[:, j])
+            var_chks[j, : len(nbrs)] = nbrs
+            var_mask[j, : len(nbrs)] = True
+            for k, i in enumerate(nbrs):
+                slot_in_var[(int(i), j)] = k
+        for i in range(m):
+            nbrs = np.flatnonzero(H[i, :])
+            chk_vars[i, : len(nbrs)] = nbrs
+            chk_mask[i, : len(nbrs)] = True
+            for k, j in enumerate(nbrs):
+                slot_in_chk[(i, int(j))] = k
+
+        c2v_gather = np.zeros((m, max_dc), dtype=np.int32)
+        for i in range(m):
+            for k in range(int(chk_deg[i])):
+                j = int(chk_vars[i, k])
+                c2v_gather[i, k] = j * max_dv + slot_in_var[(i, j)]
+        v2c_gather = np.zeros((n, max_dv), dtype=np.int32)
+        for j in range(n):
+            for k in range(int(var_deg[j])):
+                i = int(var_chks[j, k])
+                v2c_gather[j, k] = i * max_dc + slot_in_chk[(i, j)]
+
+        return TannerGraph(
+            m=m,
+            n=n,
+            max_dc=max_dc,
+            max_dv=max_dv,
+            n_edges=int(chk_deg.sum()),
+            H=H,
+            chk_vars=chk_vars,
+            chk_mask=chk_mask,
+            var_chks=var_chks,
+            var_mask=var_mask,
+            c2v_gather=c2v_gather,
+            v2c_gather=v2c_gather,
+        )

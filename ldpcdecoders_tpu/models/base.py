@@ -1,0 +1,101 @@
+"""Decoder base class: the public API surface of the framework.
+
+Mirrors the reference's compatibility contract (SURVEY.md §2.6,
+/root/reference/src/decoders/abstract_decoder.jl) with one deliberate
+re-design: decoding is *batch-first*.  The reference's ``batchdecode!`` is a
+sequential loop over syndrome columns
+(/root/reference/src/decoders/abstract_decoder.jl:35-39); here a batch is a
+leading array axis decoded in lock-step by one jitted XLA program, and the
+single-syndrome ``decode`` is the batch-of-one special case.
+
+All decoders return a uniform int8 error estimate (the reference returns a
+different dtype per decoder — Float64/Bool/Int64 — which SURVEY.md §2.6
+flags as a quirk, not a feature).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import numpy as np
+
+__all__ = ["Decoder", "DecodeStats", "decode", "batchdecode"]
+
+
+@dataclasses.dataclass(frozen=True)
+class DecodeStats:
+    """Structured per-batch observability (SURVEY.md §5 'metrics' plan)."""
+
+    batch_size: int
+    converged_fraction: float
+    mean_iters: float
+    max_iters_used: int
+
+    @staticmethod
+    def from_arrays(converged: np.ndarray, iters: np.ndarray) -> "DecodeStats":
+        return DecodeStats(
+            batch_size=int(converged.shape[0]),
+            converged_fraction=float(np.mean(converged)),
+            mean_iters=float(np.mean(iters)),
+            max_iters_used=int(np.max(iters)) if iters.size else 0,
+        )
+
+
+class Decoder:
+    """Abstract batched syndrome decoder.
+
+    Concrete decoders implement ``_decode_batch(syndromes, seed) ->
+    (errors, converged, iters, aux)`` over device arrays; this base class
+    provides the host-facing ``decode`` / ``batch_decode`` API.
+    """
+
+    #: number of parity checks (rows of H)
+    m: int
+    #: number of variable nodes (columns of H)
+    n: int
+
+    def _decode_batch(self, syndromes, seed: int):
+        raise NotImplementedError
+
+    # -- public API -------------------------------------------------------
+
+    def decode(self, syndrome, *, seed: int = 0):
+        """Decode one syndrome; returns ``(error[n] int8, converged bool)``."""
+        syndrome = np.asarray(syndrome)
+        errors, converged = self.batch_decode(syndrome[None, :], seed=seed)
+        return errors[0], bool(converged[0])
+
+    def batch_decode(self, syndromes, *, seed: int = 0):
+        """Decode a batch; ``syndromes`` is ``[B, m]`` (batch-first).
+
+        Returns ``(errors [B, n] int8, converged [B] bool)``.
+        """
+        syndromes = np.asarray(syndromes)
+        if syndromes.ndim != 2 or syndromes.shape[1] != self.m:
+            raise ValueError(
+                f"expected syndromes of shape [B, {self.m}], got {syndromes.shape}"
+            )
+        errors, converged, _, _ = self._decode_batch(syndromes, seed)
+        return np.asarray(errors), np.asarray(converged)
+
+    def batch_decode_detailed(self, syndromes, *, seed: int = 0):
+        """Like :meth:`batch_decode` but also returns iteration counts,
+        decoder-specific auxiliary output, and :class:`DecodeStats`."""
+        syndromes = np.asarray(syndromes)
+        errors, converged, iters, aux = self._decode_batch(syndromes, seed)
+        errors = np.asarray(errors)
+        converged = np.asarray(converged)
+        iters = np.asarray(iters)
+        return errors, converged, iters, aux, DecodeStats.from_arrays(converged, iters)
+
+
+def decode(decoder: Decoder, syndrome, **kw):
+    """Free-function form of ``decoder.decode`` (reference ``decode!``)."""
+    return decoder.decode(syndrome, **kw)
+
+
+def batchdecode(decoder: Decoder, syndromes, **kw):
+    """Free-function form of ``decoder.batch_decode`` (reference
+    ``batchdecode!``), batch-first."""
+    return decoder.batch_decode(syndromes, **kw)

@@ -1,0 +1,138 @@
+"""Batched sum-product belief-propagation decoder (flagship model).
+
+TPU-native re-design of the reference's probability-ratio-domain BP
+(/root/reference/src/decoders/belief_propagation.jl:121-188):
+
+  * the reference's serial per-node prefix/suffix products become
+    vectorized exclusive cumulative products over a padded degree axis
+    (check side) and a guarded unrolled scan (variable side, preserving the
+    reference's NaN-reset semantics);
+  * messages live in flat fixed-shape edge arrays connected by static
+    gather permutations (see codes/graph.py), not dense s x n matrices;
+  * the batch is a leading axis decoded in lock-step by one
+    ``lax.while_loop``; converged lanes are frozen (masked no-ops), which
+    reproduces the reference's per-syndrome early-stop results exactly;
+  * the per-iteration syndrome check ``(H @ err) % 2`` is a dense MXU
+    matmul (exact: LDPC row sums are tiny integers).
+
+Numerics match SURVEY.md §2.2: delta = (p0 - p1) products with the syndrome
+sign folded into the check-node prefix, ``x -> (1-x)/(1+x)`` ratio maps,
+``log(1/total)`` soft output, and hard decision ``total >= 1``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..codes.graph import TannerGraph
+from ..ops.exclusive import exclusive_prods, guarded_exclusive_prod_scan
+from ..ops.syndrome import syndrome_of
+from .base import Decoder
+
+__all__ = ["BeliefPropagationDecoder", "make_bp_decode_fn"]
+
+
+def make_bp_decode_fn(graph: TannerGraph, per: float, max_iters: int, dtype=jnp.float32):
+    """Build a jittable ``syndromes [B, m] -> (err, converged, iters, logp)``.
+
+    The returned function is pure and shape-polymorphic only in B; all graph
+    structure is baked in as static constants.
+    """
+    m, n = graph.m, graph.n
+    max_dc, max_dv = graph.max_dc, graph.max_dv
+    c2v = jnp.asarray(graph.c2v_gather.reshape(-1))
+    v2c = jnp.asarray(graph.v2c_gather.reshape(-1))
+    chk_mask = jnp.asarray(graph.chk_mask)
+    var_mask = jnp.asarray(graph.var_mask)
+    Ht = jnp.asarray(graph.H.T.astype(np.float32))
+    one = dtype(1.0)
+    channel_ratio = dtype(per / (1.0 - per))
+
+    def check_update(Q, syn_sign):
+        """Var-major messages Q [B, n, dv] -> check-major R [B, m, dc]."""
+        B = Q.shape[0]
+        Qg = jnp.take(Q.reshape(B, n * max_dv), c2v, axis=1).reshape(B, m, max_dc)
+        delta = dtype(2.0) / (one + Qg) - one
+        delta = jnp.where(chk_mask, delta, one)
+        fwd, bwd = exclusive_prods(delta)
+        r = syn_sign[:, :, None] * fwd * bwd
+        return (one - r) / (one + r)
+
+    def var_update(R):
+        """Check-major R [B, m, dc] -> (Q [B, n, dv], err [B, n], logp)."""
+        B = R.shape[0]
+        Rg = jnp.take(R.reshape(B, m * max_dc), v2c, axis=1).reshape(B, n, max_dv)
+        Rg = jnp.where(var_mask, Rg, one)
+        init = jnp.full((B, n), channel_ratio, dtype)
+        Q, total = guarded_exclusive_prod_scan(Rg, init)
+        logp = jnp.log(one / total)
+        err = (total >= one).astype(jnp.float32)
+        return Q, err, logp
+
+    def decode(syndromes):
+        syndromes = jnp.asarray(syndromes)
+        B = syndromes.shape[0]
+        syn_f = syndromes.astype(jnp.float32)
+        syn_sign = (1.0 - 2.0 * syn_f).astype(dtype)
+
+        Q0 = jnp.where(var_mask, channel_ratio, one) * jnp.ones((B, 1, 1), dtype)
+        state0 = (
+            Q0,
+            jnp.zeros((B, n), jnp.float32),  # err
+            jnp.zeros((B, n), dtype),  # log_probabs
+            jnp.zeros((B,), bool),  # done
+            jnp.int32(0),  # it
+            jnp.zeros((B,), jnp.int32),  # iters to converge
+        )
+
+        def cond(state):
+            _, _, _, done, it, _ = state
+            return (it < max_iters) & ~jnp.all(done)
+
+        def body(state):
+            Q, err, logp, done, it, iters = state
+            R = check_update(Q, syn_sign)
+            Qn, errn, logpn = var_update(R)
+            active = ~done
+            Q = jnp.where(active[:, None, None], Qn, Q)
+            err = jnp.where(active[:, None], errn, err)
+            logp = jnp.where(active[:, None], logpn, logp)
+            ok = jnp.all(syndrome_of(err, Ht) == syn_f, axis=-1)
+            iters = jnp.where(ok & active, it + 1, iters)
+            return Q, err, logp, done | ok, it + 1, iters
+
+        _, err, logp, done, it, iters = jax.lax.while_loop(cond, body, state0)
+        iters = jnp.where(done, iters, it)
+        return err.astype(jnp.int8), done, iters, logp
+
+    return decode
+
+
+class BeliefPropagationDecoder(Decoder):
+    """Sum-product BP decoder with reference-parity numerics.
+
+    Args:
+      H: ``[m, n]`` parity-check matrix (dense/sparse 0-1 array-like).
+      per: physical error rate (channel crossover probability).
+      max_iters: maximum BP iterations.
+      dtype: message dtype (float32 default; the reference uses float64 on
+        CPU, but FER behavior is dtype-robust and f32 is TPU-native).
+    """
+
+    def __init__(self, H, per: float, max_iters: int, *, dtype=jnp.float32):
+        self.graph = H if isinstance(H, TannerGraph) else TannerGraph.from_pcm(H)
+        self.m, self.n = self.graph.m, self.graph.n
+        self.per = float(per)
+        self.max_iters = int(max_iters)
+        self.dtype = dtype
+        self._decode_fn = jax.jit(
+            make_bp_decode_fn(self.graph, self.per, self.max_iters, dtype)
+        )
+
+    def _decode_batch(self, syndromes, seed: int = 0):
+        err, converged, iters, logp = self._decode_fn(jnp.asarray(syndromes))
+        return err, converged, iters, {"log_probabs": logp}
