@@ -26,6 +26,8 @@ from .models import (
     decode,
     batchdecode,
     BeliefPropagationDecoder,
+    BitFlipDecoder,
+    BPOTSDecoder,
 )
 
 __version__ = "0.1.0"

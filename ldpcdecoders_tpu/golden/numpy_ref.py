@@ -205,11 +205,18 @@ def osd_postprocess(H, syndrome, bp_err, log_probabs, osd_order=0):
 
 
 def bitflip_decode(H, syndrome, max_iters, rng):
-    """Gallager-B-style bit-flip with uniform-random argmax tie-break."""
+    """Gallager-B-style bit-flip with uniform-random argmax tie-break.
+
+    Note: votes are zeroed once per decode, NOT per iteration — they
+    accumulate across iterations, mirroring the reference exactly
+    (reset! at iterative_bitflip.jl:84-88; no reset inside the loop at
+    iterative_bitflip.jl:121-154).
+    """
     H = np.asarray(H, dtype=np.int64)
     syndrome = np.asarray(syndrome).astype(np.int64)
     m, n = H.shape
     err = np.zeros(n, dtype=np.int64)
+    votes = np.zeros(n, dtype=np.int64)
     converged = False
     for _ in range(max_iters):
         syn = (H @ err) % 2
@@ -217,7 +224,7 @@ def bitflip_decode(H, syndrome, max_iters, rng):
             converged = True
             break
         mismatch = (syn != syndrome).astype(np.int64)
-        votes = ((2 * mismatch - 1)[None, :] @ H).ravel()
+        votes += ((2 * mismatch - 1)[None, :] @ H).ravel()
         max_votes = votes.max()
         if max_votes >= 0:
             idxs = np.flatnonzero(votes == max_votes)

@@ -1,5 +1,7 @@
 from .base import Decoder, DecodeStats, decode, batchdecode
 from .bp import BeliefPropagationDecoder
+from .bitflip import BitFlipDecoder
+from .bpots import BPOTSDecoder
 
 __all__ = [
     "Decoder",
@@ -7,4 +9,6 @@ __all__ = [
     "decode",
     "batchdecode",
     "BeliefPropagationDecoder",
+    "BitFlipDecoder",
+    "BPOTSDecoder",
 ]
