@@ -26,6 +26,7 @@ from .models import (
     decode,
     batchdecode,
     BeliefPropagationDecoder,
+    BeliefPropagationOSDDecoder,
     BitFlipDecoder,
     BPOTSDecoder,
 )

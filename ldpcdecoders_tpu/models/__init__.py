@@ -2,6 +2,7 @@ from .base import Decoder, DecodeStats, decode, batchdecode
 from .bp import BeliefPropagationDecoder
 from .bitflip import BitFlipDecoder
 from .bpots import BPOTSDecoder
+from .bposd import BeliefPropagationOSDDecoder
 
 __all__ = [
     "Decoder",
@@ -9,6 +10,7 @@ __all__ = [
     "decode",
     "batchdecode",
     "BeliefPropagationDecoder",
+    "BeliefPropagationOSDDecoder",
     "BitFlipDecoder",
     "BPOTSDecoder",
 ]
