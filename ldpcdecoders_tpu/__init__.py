@@ -29,6 +29,8 @@ from .models import (
     BeliefPropagationOSDDecoder,
     BitFlipDecoder,
     BPOTSDecoder,
+    MinSumDecoder,
 )
+from . import parallel
 
 __version__ = "0.1.0"

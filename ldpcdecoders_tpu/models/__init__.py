@@ -3,6 +3,7 @@ from .bp import BeliefPropagationDecoder
 from .bitflip import BitFlipDecoder
 from .bpots import BPOTSDecoder
 from .bposd import BeliefPropagationOSDDecoder
+from .minsum import MinSumDecoder
 
 __all__ = [
     "Decoder",
@@ -13,4 +14,5 @@ __all__ = [
     "BeliefPropagationOSDDecoder",
     "BitFlipDecoder",
     "BPOTSDecoder",
+    "MinSumDecoder",
 ]

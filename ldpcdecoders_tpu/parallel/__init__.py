@@ -1,0 +1,15 @@
+from .mesh import make_mesh, batch_sharding, shard_batch
+from .spmd import (
+    sharded_batch_decode,
+    decode_with_stats,
+    make_check_sharded_minsum_fn,
+)
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "shard_batch",
+    "sharded_batch_decode",
+    "decode_with_stats",
+    "make_check_sharded_minsum_fn",
+]

@@ -1,0 +1,225 @@
+"""SPMD decoding over a device mesh: data-parallel + check-sharded paths.
+
+Collectives actually needed (SURVEY.md §5):
+  * steady-state batch-sharded decoding is embarrassingly parallel — the
+    only cross-device traffic is the global early-stop reduction inside
+    the ``while_loop`` condition;
+  * ``decode_with_stats`` all-reduces convergence statistics (the FER
+    accumulation collective);
+  * ``make_check_sharded_minsum_fn`` is the 'tensor-parallel' analog for
+    very large codes: the *check* axis of the Tanner graph is sharded over
+    a 'model' mesh axis, and the per-variable message sums ride one
+    ``psum`` per BP iteration (the structural cousin of sequence
+    parallelism, over Tanner-graph edges instead of tokens).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..codes.graph import TannerGraph
+from .mesh import batch_sharding
+
+__all__ = [
+    "sharded_batch_decode",
+    "decode_with_stats",
+    "make_check_sharded_minsum_fn",
+]
+
+
+def sharded_batch_decode(decoder, syndromes, mesh: Mesh, *, data_axis: str = "data", seed: int = 0):
+    """Data-parallel batch decode: shard the batch axis across the mesh.
+
+    Works with any framework decoder; XLA partitions the jitted decode
+    program across the mesh (GSPMD), inserting only the early-stop
+    all-reduce.  Returns host numpy arrays like ``Decoder.batch_decode``.
+    """
+    syndromes = np.asarray(syndromes)
+    B = syndromes.shape[0]
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names if a == data_axis]))
+    if B % n_dev != 0:
+        raise ValueError(f"batch {B} must divide the '{data_axis}' mesh size {n_dev}")
+    syn_sharded = jax.device_put(
+        jnp.asarray(syndromes), batch_sharding(mesh, 2, data_axis)
+    )
+    errors, converged, iters, aux = decoder._decode_batch(syn_sharded, seed)
+    return np.asarray(errors), np.asarray(converged)
+
+
+def decode_with_stats(decoder, syndromes, mesh: Mesh, *, data_axis: str = "data", seed: int = 0):
+    """Sharded decode + all-reduced global convergence statistics.
+
+    Returns ``(errors, converged, stats_dict)`` where the stats are the
+    globally-reduced convergence fraction and mean iteration count (one
+    all-reduce across the mesh, mirroring SURVEY.md §5's observability
+    plan).
+    """
+    syndromes = np.asarray(syndromes)
+    syn_sharded = jax.device_put(
+        jnp.asarray(syndromes), batch_sharding(mesh, 2, data_axis)
+    )
+    errors, converged, iters, aux = decoder._decode_batch(syn_sharded, seed)
+
+    @functools.partial(jax.jit, out_shardings=NamedSharding(mesh, P()))
+    def _reduce(conv, iters):
+        return (
+            jnp.mean(conv.astype(jnp.float32)),
+            jnp.mean(iters.astype(jnp.float32)),
+            jnp.max(iters),
+        )
+
+    frac, mean_it, max_it = _reduce(jnp.asarray(converged), jnp.asarray(iters))
+    stats = {
+        "converged_fraction": float(frac),
+        "mean_iters": float(mean_it),
+        "max_iters_used": int(max_it),
+        "batch_size": int(syndromes.shape[0]),
+    }
+    return np.asarray(errors), np.asarray(converged), stats
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def make_check_sharded_minsum_fn(
+    graph: TannerGraph,
+    per: float,
+    max_iters: int,
+    mesh: Mesh,
+    *,
+    data_axis: str = "data",
+    model_axis: str = "model",
+    alpha: float = 1.0,
+    dtype=jnp.float32,
+):
+    """Min-sum BP with the *check* axis sharded over the 'model' mesh axis.
+
+    Each model shard owns ``m/D`` checks and their check-to-variable
+    messages; per-variable totals are formed with one ``psum`` over the
+    model axis per iteration.  The batch axis is simultaneously sharded
+    over 'data'.  Returns a jitted ``syndromes [B, m] -> (err [B, n] int8,
+    converged [B] bool, iters [B])``.
+    """
+    D = mesh.shape[model_axis]
+    m, n = graph.m, graph.n
+    max_dc, max_dv = graph.max_dc, graph.max_dv
+    m_pad = _round_up(m, D)
+
+    chk_vars = np.zeros((m_pad, max_dc), np.int32)
+    chk_vars[:m] = graph.chk_vars
+    chk_mask = np.zeros((m_pad, max_dc), bool)
+    chk_mask[:m] = graph.chk_mask
+    Ht_pad = np.zeros((n, m_pad), np.float32)
+    Ht_pad[:, :m] = graph.H.T
+    L0 = dtype(np.log((1.0 - per) / per))
+    alpha = dtype(alpha)
+    big = dtype(1e30)
+
+    def local_iter(mu, total, syn_sign_loc, cv_loc, cm_loc):
+        """One BP iteration on this shard's checks; returns new local mu."""
+        # nu_{j->i} = total_j - mu_{i->j}, gathered for local checks
+        Tg = jnp.take(total, cv_loc, axis=1)  # [B, m_loc, dc]
+        nu = Tg - mu
+        mag = jnp.where(cm_loc, jnp.abs(nu), big)
+        neg = jnp.where(cm_loc, nu < 0, False)
+        min1 = jnp.min(mag, axis=-1, keepdims=True)
+        amin = jnp.argmin(mag, axis=-1)
+        oh = jax.nn.one_hot(amin, mag.shape[-1], dtype=bool)
+        min2 = jnp.min(jnp.where(oh, big, mag), axis=-1, keepdims=True)
+        excl_min = jnp.where(oh, min2, min1)
+        par = jnp.sum(neg, axis=-1, keepdims=True).astype(jnp.int32)
+        excl_par = (par - neg.astype(jnp.int32)) & 1
+        sign = jnp.where(excl_par == 1, -1.0, 1.0).astype(dtype)
+        return syn_sign_loc[:, :, None] * sign * jnp.maximum(alpha * excl_min, 0.0)
+
+    def spmd_body(syn, cv_loc, cm_loc, ht_loc):
+        """Runs per-shard: syn [B_loc, m_loc]; constants are local slices."""
+        B = syn.shape[0]
+        m_loc = syn.shape[1]
+        syn_sign = (1.0 - 2.0 * syn.astype(jnp.float32)).astype(dtype)
+        syn_f = syn.astype(jnp.float32)
+
+        state0 = (
+            jnp.zeros((B, m_loc, max_dc), dtype),  # local mu
+            jnp.full((B, n), L0, dtype),  # total llrs (replicated)
+            jnp.zeros((B, n), jnp.float32),  # err (replicated)
+            jnp.zeros((B,), bool),
+            jnp.int32(0),
+            jnp.zeros((B,), jnp.int32),
+            jnp.int32(B),  # globally-reduced not-done count (carried so the
+            # while condition itself stays collective-free)
+        )
+
+        def cond(st):
+            it, n_undone = st[4], st[6]
+            return (it < max_iters) & (n_undone > 0)
+
+        def body(st):
+            mu, total, err, done, it, iters, _ = st
+            mu_new = local_iter(mu, total, syn_sign, cv_loc, cm_loc)
+            # partial per-variable sums -> psum over the model axis
+            contrib = jnp.where(cm_loc, mu_new, 0.0)
+            partial = jnp.zeros((B, n), dtype).at[
+                jnp.arange(B)[:, None, None], cv_loc[None, :, :]
+            ].add(contrib)
+            sum_mu = jax.lax.psum(partial, axis_name=model_axis)
+            total_new = L0 + sum_mu
+            err_new = (total_new < 0).astype(jnp.float32)
+
+            active = ~done
+            mu = jnp.where(active[:, None, None], mu_new, mu)
+            total = jnp.where(active[:, None], total_new, total)
+            err = jnp.where(active[:, None], err_new, err)
+
+            # local syndrome check + all-reduce of mismatch counts
+            syn_hat = jnp.mod(
+                jnp.dot(err, ht_loc, preferred_element_type=jnp.float32), 2.0
+            )
+            local_mis = jnp.sum(syn_hat != syn_f, axis=-1)
+            mis = jax.lax.psum(local_mis, axis_name=model_axis)
+            ok = mis == 0
+            iters = jnp.where(ok & active, it + 1, iters)
+            done = done | ok
+            n_undone = jax.lax.psum(
+                jnp.sum((~done).astype(jnp.int32)), axis_name=data_axis
+            )
+            return mu, total, err, done, it + 1, iters, n_undone
+
+        mu, total, err, done, it, iters, _ = jax.lax.while_loop(cond, body, state0)
+        iters = jnp.where(done, iters, it)
+        return err.astype(jnp.int8), done, iters
+
+    spec_data = P(data_axis, None)
+    mapped = shard_map(
+        spmd_body,
+        mesh=mesh,
+        in_specs=(
+            P(data_axis, model_axis),  # syndromes [B, m_pad]
+            P(model_axis, None),  # chk_vars
+            P(model_axis, None),  # chk_mask
+            P(None, model_axis),  # Ht
+        ),
+        out_specs=(spec_data, P(data_axis), P(data_axis)),
+        check_vma=False,
+    )
+
+    cv_c = jnp.asarray(chk_vars)
+    cm_c = jnp.asarray(chk_mask)
+    ht_c = jnp.asarray(Ht_pad)
+
+    @jax.jit
+    def decode(syndromes):
+        syndromes = jnp.asarray(syndromes)
+        B = syndromes.shape[0]
+        syn_pad = jnp.zeros((B, m_pad), syndromes.dtype).at[:, :m].set(syndromes)
+        return mapped(syn_pad, cv_c, cm_c, ht_c)
+
+    return decode
