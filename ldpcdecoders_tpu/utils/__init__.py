@@ -1,0 +1,16 @@
+from .noise import sample_errors, syndromes_of, sample_errors_device
+from .metrics import exact_recovery_ler, syndrome_match_rate, wilson_interval
+from .io import save_code_npz, load_code_npz, atomic_write_json, read_json
+
+__all__ = [
+    "sample_errors",
+    "syndromes_of",
+    "sample_errors_device",
+    "exact_recovery_ler",
+    "syndrome_match_rate",
+    "wilson_interval",
+    "save_code_npz",
+    "load_code_npz",
+    "atomic_write_json",
+    "read_json",
+]

@@ -1,0 +1,52 @@
+"""Binary (npz) persistence for codes and sweep checkpoints.
+
+Extends the reference's text PCM I/O (parity_generator.jl:47-54, kept in
+codes/gallager.py) with a compact binary format and the checkpoint files
+used by the FER-sweep harness for long-run resume (SURVEY.md §5
+checkpoint/resume plan).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import numpy as np
+
+__all__ = ["save_code_npz", "load_code_npz", "atomic_write_json", "read_json"]
+
+
+def save_code_npz(path: str, H: np.ndarray, **metadata) -> None:
+    """Save a parity-check matrix (and optional metadata arrays) to npz."""
+    np.savez_compressed(path, H=np.asarray(H, dtype=np.uint8), **metadata)
+
+
+def load_code_npz(path: str):
+    """Load a parity-check matrix saved by :func:`save_code_npz`.
+
+    Returns ``(H, metadata_dict)``.
+    """
+    with np.load(path) as data:
+        H = data["H"]
+        meta = {k: data[k] for k in data.files if k != "H"}
+    return H, meta
+
+
+def atomic_write_json(path: str, obj) -> None:
+    """Crash-safe JSON write (tmp file + rename)."""
+    d = os.path.dirname(os.path.abspath(path)) or "."
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(obj, f, indent=2)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def read_json(path: str):
+    with open(path) as f:
+        return json.load(f)

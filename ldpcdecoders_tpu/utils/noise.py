@@ -1,0 +1,32 @@
+"""Error-pattern sampling and syndrome generation.
+
+The reference samples iid bit-flip errors host-side (`rand(n) .< per`,
+test_bp_decoder.jl:8) — we provide the same host-side NumPy path plus a
+device-side JAX path for generating benchmark workloads without
+host->device transfers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["sample_errors", "syndromes_of", "sample_errors_device"]
+
+
+def sample_errors(rng, batch: int, n: int, per: float) -> np.ndarray:
+    """Sample ``[batch, n]`` iid Bernoulli(per) error patterns (host)."""
+    if isinstance(rng, (int, np.integer)) or rng is None:
+        rng = np.random.default_rng(rng)
+    return rng.random((batch, n)) < per
+
+
+def syndromes_of(H: np.ndarray, errors: np.ndarray) -> np.ndarray:
+    """``[B, m]`` syndromes of a 0/1 error batch (host, exact GF(2))."""
+    return (errors.astype(np.int64) @ np.asarray(H).astype(np.int64).T) % 2
+
+
+def sample_errors_device(key, batch: int, n: int, per: float):
+    """Device-side error sampling with a JAX PRNG key."""
+    import jax
+
+    return jax.random.bernoulli(key, per, (batch, n))

@@ -1,0 +1,86 @@
+"""FER-sweep harness + utils tests, including checkpoint/resume."""
+
+import numpy as np
+import pytest
+
+import ldpcdecoders_tpu as lt
+from ldpcdecoders_tpu.harness import FERSweep
+from ldpcdecoders_tpu.utils import (
+    sample_errors,
+    syndromes_of,
+    exact_recovery_ler,
+    syndrome_match_rate,
+    wilson_interval,
+    save_code_npz,
+    load_code_npz,
+)
+
+
+def test_utils_roundtrip(tmp_path):
+    H = lt.parity_check_matrix(60, 6, 3, rng=1)
+    p = str(tmp_path / "code.npz")
+    save_code_npz(p, H, wr=np.array(6))
+    H2, meta = load_code_npz(p)
+    assert np.array_equal(H, H2)
+    assert int(meta["wr"]) == 6
+
+
+def test_metrics():
+    H = lt.parity_check_matrix(60, 6, 3, rng=2)
+    errs = sample_errors(3, 10, 60, 0.05)
+    syns = syndromes_of(H, errs)
+    assert exact_recovery_ler(errs, errs) == 0.0
+    assert syndrome_match_rate(H, errs, syns) == 1.0
+    lo, hi = wilson_interval(5, 100)
+    assert lo < 0.05 < hi
+
+
+def test_fer_sweep_runs(tmp_path):
+    H = lt.parity_check_matrix(120, 6, 3, rng=3)
+    sweep = FERSweep(
+        H,
+        lambda per: lt.BeliefPropagationDecoder(H, per, 30),
+        pers=[0.005, 0.02],
+        batch=32,
+        checkpoint_path=str(tmp_path / "ck.json"),
+        seed=5,
+    )
+    out = sweep.run(trials_per_point=64)
+    assert set(out) == {0.005, 0.02}
+    for per, s in out.items():
+        assert s["trials"] == 64
+        assert 0 <= s["ler"] <= 1
+        assert s["ler_ci95"][0] <= s["ler"] <= s["ler_ci95"][1]
+    # lower noise should not be worse
+    assert out[0.005]["ler"] <= out[0.02]["ler"] + 0.05
+
+
+def test_fer_sweep_resume_matches_uninterrupted(tmp_path):
+    H = lt.parity_check_matrix(120, 6, 3, rng=4)
+    factory = lambda per: lt.BeliefPropagationDecoder(H, per, 30)
+
+    full = FERSweep(H, factory, pers=[0.02], batch=16, seed=9)
+    out_full = full.run(trials_per_point=48)
+
+    ck = str(tmp_path / "ck.json")
+    part = FERSweep(H, factory, pers=[0.02], batch=16, checkpoint_path=ck, seed=9)
+    part.run(trials_per_point=16)  # stop early
+    resumed = FERSweep(H, factory, pers=[0.02], batch=16, checkpoint_path=ck, seed=9)
+    assert resumed.points[0.02].trials == 16  # picked up from checkpoint
+    out_res = resumed.run(trials_per_point=48)
+
+    assert out_res[0.02]["trials"] == 48
+    # identical failure counts: resume reproduces the uninterrupted stream
+    assert out_res[0.02]["ler"] == out_full[0.02]["ler"]
+    assert out_res[0.02]["syndrome_match_rate"] == out_full[0.02]["syndrome_match_rate"]
+
+
+def test_fer_sweep_rejects_mismatched_checkpoint(tmp_path):
+    H = lt.parity_check_matrix(120, 6, 3, rng=5)
+    factory = lambda per: lt.BeliefPropagationDecoder(H, per, 10)
+    ck = str(tmp_path / "ck.json")
+    FERSweep(H, factory, pers=[0.01], batch=8, checkpoint_path=ck, seed=1).run(
+        trials_per_point=8
+    )
+    with pytest.raises(ValueError):
+        FERSweep(H, factory, pers=[0.01], batch=8, checkpoint_path=ck, seed=2)
