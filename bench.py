@@ -25,6 +25,7 @@ def main():
 
     import ldpcdecoders_tpu as lt
     from ldpcdecoders_tpu.models.bp import make_bp_decode_fn
+    from ldpcdecoders_tpu.models.minsum_q import make_minsum_q_decode_fn
 
     H = lt.parity_check_matrix(1000, 10, 9, rng=42)
     graph = lt.TannerGraph.from_pcm(H)
@@ -41,43 +42,45 @@ def main():
     real_errs = rng.random((B, graph.n)) < per
     real_syns = jnp.asarray((real_errs @ H.T) % 2, dtype=jnp.uint8)
 
-    fn = jax.jit(make_bp_decode_fn(graph, per, max_iters))
+    def measure(fn, syns, reps=3):
+        out = fn(syns)
+        jax.block_until_ready(out)  # compile + warmup
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(syns)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / reps
+        iters = int(np.max(np.asarray(out[2]))) or max_iters
+        conv = float(np.asarray(out[1]).mean())
+        return dt, iters, conv
 
-    # warmup / compile
-    out = fn(hard_syns)
-    jax.block_until_ready(out)
+    # flagship reference-parity sum-product BP (f32, slot-major): headline
+    bp_fn = jax.jit(make_bp_decode_fn(graph, per, max_iters))
+    dt_bp, it_bp, _ = measure(bp_fn, hard_syns)
+    bp_edge_iters_per_s = B * it_bp * graph.n_edges / dt_bp
+    dt_bpr, _, conv_bpr = measure(bp_fn, real_syns)
 
-    # sustained-throughput measurement
-    reps = 3
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        err, conv, iters, _ = fn(hard_syns)
-    jax.block_until_ready(err)
-    dt = (time.perf_counter() - t0) / reps
-    iters_executed = int(np.max(np.asarray(iters))) or max_iters
-    edge_iters_per_s = B * iters_executed * graph.n_edges / dt
-
-    # end-to-end realistic decode rate
-    out = fn(real_syns)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    err, conv, iters, _ = fn(real_syns)
-    jax.block_until_ready(err)
-    dt_real = time.perf_counter() - t0
-    syndromes_per_s = B / dt_real
+    # int8 min-sum production variant
+    q_fn = jax.jit(make_minsum_q_decode_fn(graph, per, max_iters))
+    dt_q, it_q, _ = measure(q_fn, hard_syns)
+    q_edge_iters_per_s = B * it_q * graph.n_edges / dt_q
+    dt_qr, _, conv_qr = measure(q_fn, real_syns)
 
     target = 1e7  # BASELINE.json north-star: edge-iterations/s/chip
     result = {
         "metric": "bp_edge_iterations_per_s_per_chip",
-        "value": round(edge_iters_per_s, 1),
+        "value": round(bp_edge_iters_per_s, 1),
         "unit": "edge_iters/s",
-        "vs_baseline": round(edge_iters_per_s / target, 3),
+        "vs_baseline": round(bp_edge_iters_per_s / target, 3),
         "extra": {
-            "decoded_syndromes_per_s_at_per0.01": round(syndromes_per_s, 1),
+            "flagship_decoder": "sumproduct_f32_slot_major",
+            "minsum_int8_edge_iters_per_s": round(q_edge_iters_per_s, 1),
+            "decoded_syndromes_per_s_sumproduct": round(B / dt_bpr, 1),
+            "decoded_syndromes_per_s_minsum_int8": round(B / dt_qr, 1),
+            "converged_fraction_real": conv_bpr,
             "batch": B,
-            "iters_executed": iters_executed,
+            "iters_executed": it_bp,
             "edges": graph.n_edges,
-            "converged_fraction_real": float(np.asarray(conv).mean()),
             "device": str(jax.devices()[0]),
         },
     }

@@ -19,6 +19,7 @@ from .codes import (
     repetition_code,
     cycle_matrix,
     hamming_code,
+    hypergraph_product,
 )
 from .models import (
     Decoder,
@@ -30,6 +31,7 @@ from .models import (
     BitFlipDecoder,
     BPOTSDecoder,
     MinSumDecoder,
+    QuantizedMinSumDecoder,
 )
 from . import parallel
 

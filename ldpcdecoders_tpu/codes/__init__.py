@@ -8,6 +8,7 @@ from .css import (
     repetition_code,
     cycle_matrix,
     hamming_code,
+    hypergraph_product,
 )
 
 __all__ = [
@@ -22,4 +23,5 @@ __all__ = [
     "repetition_code",
     "cycle_matrix",
     "hamming_code",
+    "hypergraph_product",
 ]

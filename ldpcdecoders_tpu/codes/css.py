@@ -20,6 +20,7 @@ __all__ = [
     "repetition_code",
     "cycle_matrix",
     "hamming_code",
+    "hypergraph_product",
 ]
 
 
@@ -148,6 +149,34 @@ def cycle_matrix(n: int) -> np.ndarray:
         H[j, j] = 1
         H[j, (j + 1) % n] = 1
     return H
+
+
+def hypergraph_product(H1: np.ndarray, H2: np.ndarray):
+    """Hypergraph-product CSS code of two classical parity-check matrices
+    (Tillich & Zemor 2009) — the standard quantum-LDPC construction.
+
+    Given H1 [m1, n1] and H2 [m2, n2], the product code has
+    ``n1*n2 + m1*m2`` qubits with stabilizers::
+
+        Hx = [ H1 (x) I_n2  |  I_m1 (x) H2^T ]
+        Hz = [ I_n1 (x) H2  |  H1^T (x) I_m2 ]
+
+    Returns ``(Hx, Hz)`` uint8 satisfying ``Hx @ Hz^T == 0 (mod 2)``.
+    The toric code is the special case H1 = H2 = circulant repetition.
+    """
+    H1 = np.asarray(H1, dtype=np.uint8)
+    H2 = np.asarray(H2, dtype=np.uint8)
+    m1, n1 = H1.shape
+    m2, n2 = H2.shape
+    Hx = np.concatenate(
+        [np.kron(H1, np.eye(n2, dtype=np.uint8)), np.kron(np.eye(m1, dtype=np.uint8), H2.T)],
+        axis=1,
+    )
+    Hz = np.concatenate(
+        [np.kron(np.eye(n1, dtype=np.uint8), H2), np.kron(H1.T, np.eye(m2, dtype=np.uint8))],
+        axis=1,
+    )
+    return Hx, Hz
 
 
 def hamming_code(r: int = 3) -> np.ndarray:

@@ -64,14 +64,41 @@ class TannerGraph:
     c2v_gather: np.ndarray
     v2c_gather: np.ndarray
 
+    def slot_major(self):
+        """Gather indices + masks for the slot-major device layout.
+
+        Device arrays are laid out ``[B, slot, node]`` so the large node
+        axis (m or n) occupies the TPU lane dimension (full 128-lane VPU
+        utilization) and degree reductions run across sublanes; the naive
+        ``[B, node, slot]`` layout puts the tiny degree axis in lanes
+        (~8% utilization — measured 1.75x slower end-to-end).
+
+        Returns ``(c2v_t, v2c_t, chk_mask_t, var_mask_t)`` where
+        ``c2v_t [max_dc * m]`` indexes a flattened ``[max_dv * n]``
+        var-major slot-major array, and vice versa; masks are
+        ``[max_dc, m]`` / ``[max_dv, n]``.
+        """
+        m, n = self.m, self.n
+        c2v_t = ((self.c2v_gather % self.max_dv) * n + (self.c2v_gather // self.max_dv)).T
+        v2c_t = ((self.v2c_gather % self.max_dc) * m + (self.v2c_gather // self.max_dc)).T
+        return (
+            np.ascontiguousarray(c2v_t.reshape(-1)),
+            np.ascontiguousarray(v2c_t.reshape(-1)),
+            np.ascontiguousarray(self.chk_mask.T),
+            np.ascontiguousarray(self.var_mask.T),
+        )
+
     @staticmethod
-    def from_pcm(H, *, degree_multiple: int = 1) -> "TannerGraph":
+    def from_pcm(H, *, degree_multiple: int = 1, use_native: bool | None = None) -> "TannerGraph":
         """Compile a dense/sparse 0-1 matrix into padded edge-list form.
 
         Args:
           H: ``[m, n]`` array-like of 0/1.
           degree_multiple: round padded degrees up to a multiple of this
             (e.g. 8 to align the slot axis to TPU sublanes).
+          use_native: force the C++ compiler on/off (default: auto — native
+            for graphs with more than ~100k entries, where the Python loop
+            becomes the bottleneck).
         """
         H = np.asarray(H)
         if H.ndim != 2:
@@ -83,6 +110,29 @@ class TannerGraph:
         var_deg = H.sum(axis=0).astype(np.int64)
         max_dc = _round_up(max(1, int(chk_deg.max())), degree_multiple)
         max_dv = _round_up(max(1, int(var_deg.max())), degree_multiple)
+
+        if use_native is None:
+            use_native = m * n > 100_000
+        if use_native:
+            from ..native import compile_tanner_native
+
+            out = compile_tanner_native(H, max_dc, max_dv)
+            if out is not None:
+                chk_vars, chk_mask, var_chks, var_mask, c2v_gather, v2c_gather = out
+                return TannerGraph(
+                    m=m,
+                    n=n,
+                    max_dc=max_dc,
+                    max_dv=max_dv,
+                    n_edges=int(chk_deg.sum()),
+                    H=H,
+                    chk_vars=chk_vars,
+                    chk_mask=chk_mask,
+                    var_chks=var_chks,
+                    var_mask=var_mask,
+                    c2v_gather=c2v_gather,
+                    v2c_gather=v2c_gather,
+                )
 
         chk_vars = np.zeros((m, max_dc), dtype=np.int32)
         chk_mask = np.zeros((m, max_dc), dtype=bool)

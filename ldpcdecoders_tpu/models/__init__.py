@@ -4,6 +4,7 @@ from .bitflip import BitFlipDecoder
 from .bpots import BPOTSDecoder
 from .bposd import BeliefPropagationOSDDecoder
 from .minsum import MinSumDecoder
+from .minsum_q import QuantizedMinSumDecoder
 
 __all__ = [
     "Decoder",
@@ -15,4 +16,5 @@ __all__ = [
     "BitFlipDecoder",
     "BPOTSDecoder",
     "MinSumDecoder",
+    "QuantizedMinSumDecoder",
 ]

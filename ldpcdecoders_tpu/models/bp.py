@@ -44,31 +44,33 @@ def make_bp_decode_fn(graph: TannerGraph, per: float, max_iters: int, dtype=jnp.
     """
     m, n = graph.m, graph.n
     max_dc, max_dv = graph.max_dc, graph.max_dv
-    c2v = jnp.asarray(graph.c2v_gather.reshape(-1))
-    v2c = jnp.asarray(graph.v2c_gather.reshape(-1))
-    chk_mask = jnp.asarray(graph.chk_mask)
-    var_mask = jnp.asarray(graph.var_mask)
+    # slot-major layout [B, slot, node]: large node axis in TPU lanes
+    c2v_t, v2c_t, chk_mask_t, var_mask_t = graph.slot_major()
+    c2v = jnp.asarray(c2v_t)
+    v2c = jnp.asarray(v2c_t)
+    chk_mask = jnp.asarray(chk_mask_t)  # [max_dc, m]
+    var_mask = jnp.asarray(var_mask_t)  # [max_dv, n]
     Ht = jnp.asarray(graph.H.T.astype(np.float32))
     one = dtype(1.0)
     channel_ratio = dtype(per / (1.0 - per))
 
     def check_update(Q, syn_sign):
-        """Var-major messages Q [B, n, dv] -> check-major R [B, m, dc]."""
+        """Var-side messages Q [B, dv, n] -> check-side R [B, dc, m]."""
         B = Q.shape[0]
-        Qg = jnp.take(Q.reshape(B, n * max_dv), c2v, axis=1).reshape(B, m, max_dc)
+        Qg = jnp.take(Q.reshape(B, max_dv * n), c2v, axis=1).reshape(B, max_dc, m)
         delta = dtype(2.0) / (one + Qg) - one
         delta = jnp.where(chk_mask, delta, one)
-        fwd, bwd = exclusive_prods(delta)
-        r = syn_sign[:, :, None] * fwd * bwd
+        fwd, bwd = exclusive_prods(delta, axis=1)
+        r = syn_sign[:, None, :] * fwd * bwd
         return (one - r) / (one + r)
 
     def var_update(R):
-        """Check-major R [B, m, dc] -> (Q [B, n, dv], err [B, n], logp)."""
+        """Check-side R [B, dc, m] -> (Q [B, dv, n], err [B, n], logp)."""
         B = R.shape[0]
-        Rg = jnp.take(R.reshape(B, m * max_dc), v2c, axis=1).reshape(B, n, max_dv)
+        Rg = jnp.take(R.reshape(B, max_dc * m), v2c, axis=1).reshape(B, max_dv, n)
         Rg = jnp.where(var_mask, Rg, one)
         init = jnp.full((B, n), channel_ratio, dtype)
-        Q, total = guarded_exclusive_prod_scan(Rg, init)
+        Q, total = guarded_exclusive_prod_scan(Rg, init, axis=1)
         logp = jnp.log(one / total)
         err = (total >= one).astype(jnp.float32)
         return Q, err, logp
@@ -79,7 +81,7 @@ def make_bp_decode_fn(graph: TannerGraph, per: float, max_iters: int, dtype=jnp.
         syn_f = syndromes.astype(jnp.float32)
         syn_sign = (1.0 - 2.0 * syn_f).astype(dtype)
 
-        Q0 = jnp.where(var_mask, channel_ratio, one) * jnp.ones((B, 1, 1), dtype)
+        Q0 = jnp.where(var_mask, channel_ratio, one) * jnp.ones((B, 1, 1), dtype)  # [B, dv, n]
         state0 = (
             Q0,
             jnp.zeros((B, n), jnp.float32),  # err
@@ -98,12 +100,15 @@ def make_bp_decode_fn(graph: TannerGraph, per: float, max_iters: int, dtype=jnp.
             R = check_update(Q, syn_sign)
             Qn, errn, logpn = var_update(R)
             active = ~done
-            Q = jnp.where(active[:, None, None], Qn, Q)
+            # Only the [B, n] outputs are frozen on convergence; the [B, E]
+            # message state may keep evolving on done lanes — it no longer
+            # influences any output, and skipping its freeze saves a full
+            # memory pass over the edge arrays per iteration.
             err = jnp.where(active[:, None], errn, err)
             logp = jnp.where(active[:, None], logpn, logp)
             ok = jnp.all(syndrome_of(err, Ht) == syn_f, axis=-1)
             iters = jnp.where(ok & active, it + 1, iters)
-            return Q, err, logp, done | ok, it + 1, iters
+            return Qn, err, logp, done | ok, it + 1, iters
 
         _, err, logp, done, it, iters = jax.lax.while_loop(cond, body, state0)
         iters = jnp.where(done, iters, it)

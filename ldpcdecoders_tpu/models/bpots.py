@@ -45,10 +45,12 @@ def make_bpots_decode_fn(
     """Build a jittable ``syndromes [B, m] -> (best_dec, converged, iters, llrs)``."""
     m, n = graph.m, graph.n
     max_dc, max_dv = graph.max_dc, graph.max_dv
-    c2v = jnp.asarray(graph.c2v_gather.reshape(-1))
-    v2c = jnp.asarray(graph.v2c_gather.reshape(-1))
-    chk_mask = jnp.asarray(graph.chk_mask)
-    var_mask = jnp.asarray(graph.var_mask)
+    # slot-major layout [B, slot, node]: large node axis in TPU lanes
+    c2v_t, v2c_t, chk_mask_t, var_mask_t = graph.slot_major()
+    c2v = jnp.asarray(c2v_t)
+    v2c = jnp.asarray(v2c_t)
+    chk_mask = jnp.asarray(chk_mask_t)  # [max_dc, m]
+    var_mask = jnp.asarray(var_mask_t)  # [max_dv, n]
     Ht = jnp.asarray(graph.H.T.astype(np.float32))
     # depolarizing-channel LLR prior (bpots_decoder.jl:231)
     pi_val = dtype(np.log((1.0 - 2.0 * per / 3.0) / (2.0 * per / 3.0)))
@@ -61,7 +63,7 @@ def make_bpots_decode_fn(
         syn_bool = syndromes.astype(bool)
 
         state0 = dict(
-            Mg=jnp.zeros((B, n, max_dv), dtype),  # check->var msgs, var-major
+            Mg=jnp.zeros((B, max_dv, n), dtype),  # check->var msgs, var-side
             Omega=jnp.full((B, n), pi_val, dtype),
             osc=jnp.zeros((B, n), jnp.int32),
             prior_dec=jnp.zeros((B, n), jnp.int32),
@@ -82,25 +84,25 @@ def make_bpots_decode_fn(
             active = ~s["done"]
 
             # var -> check: nu = Omega + (sum of incoming mu) - own mu
-            total = s["Omega"] + jnp.sum(s["Mg"], axis=-1)
-            nu = total[:, :, None] - s["Mg"]  # [B, n, dv]
+            total = s["Omega"] + jnp.sum(s["Mg"], axis=1)
+            nu = total[:, None, :] - s["Mg"]  # [B, dv, n]
 
             # check -> var: exclusive product of clamped tanh
-            Ng = jnp.take(nu.reshape(B, n * max_dv), c2v, axis=1).reshape(B, m, max_dc)
+            Ng = jnp.take(nu.reshape(B, max_dv * n), c2v, axis=1).reshape(B, max_dc, m)
             t = jnp.clip(jnp.tanh(dtype(0.5) * Ng), -_MAX_TANH, _MAX_TANH)
             t = jnp.where(chk_mask, t, dtype(1.0))
-            fwd, bwd = exclusive_prods(t)
+            fwd, bwd = exclusive_prods(t, axis=1)
             prod = fwd * bwd
-            prod = jnp.where(syn_bool[:, :, None], -prod, prod)
+            prod = jnp.where(syn_bool[:, None, :], -prod, prod)
             prod = jnp.clip(prod, -_MAX_TANH, _MAX_TANH)
             mu = jnp.clip(dtype(2.0) * jnp.arctanh(prod), -_MAX_MSG, _MAX_MSG)
 
-            # gather back to var-major
-            Mg_new = jnp.take(mu.reshape(B, m * max_dc), v2c, axis=1).reshape(B, n, max_dv)
+            # gather back to the var side
+            Mg_new = jnp.take(mu.reshape(B, max_dc * m), v2c, axis=1).reshape(B, max_dv, n)
             Mg_new = jnp.where(var_mask, Mg_new, dtype(0.0))
 
             # beliefs and decisions
-            llrs = s["Omega"] + jnp.sum(Mg_new, axis=-1)
+            llrs = s["Omega"] + jnp.sum(Mg_new, axis=1)
             dec = (llrs < 0).astype(jnp.int32)
 
             # oscillation tracking (from the second iteration on)
@@ -140,8 +142,10 @@ def make_bpots_decode_fn(
 
             # freeze finished lanes
             am = active[:, None]
+            # [B, E] messages are deliberately left unfrozen on done lanes
+            # (cannot influence outputs; saves a memory pass per iteration)
             return dict(
-                Mg=jnp.where(active[:, None, None], Mg_new, s["Mg"]),
+                Mg=Mg_new,
                 Omega=Omega,
                 osc=jnp.where(am, osc, s["osc"]),
                 prior_dec=jnp.where(am, dec, s["prior_dec"]),

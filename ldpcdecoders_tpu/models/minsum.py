@@ -38,54 +38,56 @@ def make_minsum_decode_fn(
     """Build a jittable ``syndromes [B,m] -> (err, converged, iters, llrs)``."""
     m, n = graph.m, graph.n
     max_dc, max_dv = graph.max_dc, graph.max_dv
-    c2v = jnp.asarray(graph.c2v_gather.reshape(-1))
-    v2c = jnp.asarray(graph.v2c_gather.reshape(-1))
-    chk_mask = jnp.asarray(graph.chk_mask)
-    var_mask = jnp.asarray(graph.var_mask)
+    # slot-major layout [B, slot, node]: large node axis in TPU lanes
+    c2v_t, v2c_t, chk_mask_t, var_mask_t = graph.slot_major()
+    c2v = jnp.asarray(c2v_t)
+    v2c = jnp.asarray(v2c_t)
+    chk_mask = jnp.asarray(chk_mask_t)  # [max_dc, m]
+    var_mask = jnp.asarray(var_mask_t)  # [max_dv, n]
     Ht = jnp.asarray(graph.H.T.astype(np.float32))
     L0 = dtype(np.log((1.0 - per) / per))
     alpha = dtype(alpha)
     beta = dtype(beta)
     big = dtype(1e30)
 
-    def check_update(nu_flat, syn_sign):
-        """Var-major nu [B, n*dv] -> check-major mu [B, m, dc]."""
+    def check_update(nu_flat, syn_flip):
+        """Var-side nu [B, dv*n] -> check-side mu [B, dc, m]."""
         B = nu_flat.shape[0]
-        Ng = jnp.take(nu_flat, c2v, axis=1).reshape(B, m, max_dc)
+        Ng = jnp.take(nu_flat, c2v, axis=1).reshape(B, max_dc, m)
         mag = jnp.where(chk_mask, jnp.abs(Ng), big)
         neg = jnp.where(chk_mask, Ng < 0, False)
 
-        min1 = jnp.min(mag, axis=-1, keepdims=True)
-        amin = jnp.argmin(mag, axis=-1)
-        oh = jax.nn.one_hot(amin, max_dc, dtype=bool)
-        min2 = jnp.min(jnp.where(oh, big, mag), axis=-1, keepdims=True)
+        min1 = jnp.min(mag, axis=1, keepdims=True)
+        amin = jnp.argmin(mag, axis=1)
+        oh = jax.nn.one_hot(amin, max_dc, dtype=bool, axis=1)
+        min2 = jnp.min(jnp.where(oh, big, mag), axis=1, keepdims=True)
         excl_min = jnp.where(oh, min2, min1)
 
-        par_total = jnp.sum(neg, axis=-1, keepdims=True) & 1
-        excl_sign = jnp.where(
-            ((par_total - neg.astype(par_total.dtype)) & 1) == 1, -1.0, 1.0
-        ).astype(dtype)
+        par_odd = (jnp.sum(neg, axis=1, keepdims=True, dtype=jnp.int32) & 1) == 1
+        flip = jnp.logical_xor(
+            jnp.logical_xor(par_odd, neg), syn_flip[:, None, :]
+        )
 
         mag_out = jnp.maximum(alpha * excl_min - beta, dtype(0.0))
-        return syn_sign[:, :, None] * excl_sign * mag_out
+        return jnp.where(flip, -mag_out, mag_out)
 
     def var_update(mu):
-        """Check-major mu [B, m, dc] -> (nu [B, n, dv], llr [B, n])."""
+        """Check-side mu [B, dc, m] -> (nu [B, dv, n], llr [B, n])."""
         B = mu.shape[0]
-        Mg = jnp.take(mu.reshape(B, m * max_dc), v2c, axis=1).reshape(B, n, max_dv)
+        Mg = jnp.take(mu.reshape(B, max_dc * m), v2c, axis=1).reshape(B, max_dv, n)
         Mg = jnp.where(var_mask, Mg, dtype(0.0))
-        total = L0 + jnp.sum(Mg, axis=-1)
-        nu = total[:, :, None] - Mg
+        total = L0 + jnp.sum(Mg, axis=1)
+        nu = total[:, None, :] - Mg
         return nu, total
 
     def decode(syndromes):
         syndromes = jnp.asarray(syndromes)
         B = syndromes.shape[0]
         syn_f = syndromes.astype(jnp.float32)
-        syn_sign = (1.0 - 2.0 * syn_f).astype(dtype)
+        syn_flip = syndromes.astype(bool)
 
         state0 = (
-            jnp.full((B, n, max_dv), L0, dtype),  # nu (var->check)
+            jnp.full((B, max_dv, n), L0, dtype),  # nu (var->check)
             jnp.zeros((B, n), jnp.float32),  # err
             jnp.full((B, n), L0, dtype),  # llrs
             jnp.zeros((B,), bool),
@@ -99,16 +101,17 @@ def make_minsum_decode_fn(
 
         def body(st):
             nu, err, llrs, done, it, iters = st
-            mu = check_update(nu.reshape(B, n * max_dv), syn_sign)
+            mu = check_update(nu.reshape(B, max_dv * n), syn_flip)
             nu_n, total = var_update(mu)
             errn = (total < 0).astype(jnp.float32)
             active = ~done
-            nu = jnp.where(active[:, None, None], nu_n, nu)
+            # freeze only the [B, n] outputs; unfrozen [B, E] messages on
+            # done lanes cannot influence any output (saves a memory pass)
             err = jnp.where(active[:, None], errn, err)
             llrs = jnp.where(active[:, None], total, llrs)
             ok = jnp.all(syndrome_of(err, Ht) == syn_f, axis=-1)
             iters = jnp.where(ok & active, it + 1, iters)
-            return nu, err, llrs, done | ok, it + 1, iters
+            return nu_n, err, llrs, done | ok, it + 1, iters
 
         _, err, llrs, done, it, iters = jax.lax.while_loop(cond, body, state0)
         iters = jnp.where(done, iters, it)
