@@ -1,0 +1,134 @@
+"""Command-line interface: FER sweeps and throughput benchmarks.
+
+The reference has no CLI (configuration is constructor args only); this
+is a TPU-native addition for production use:
+
+    python -m ldpcdecoders_tpu sweep --code gallager:1000,10,9 \
+        --decoder bposd --pers 0.005,0.01,0.02 --trials 10000 \
+        --batch 4096 --checkpoint sweep.json
+
+    python -m ldpcdecoders_tpu bench --code gallager:1000,10,9 \
+        --decoder minsum --batch 1024
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _build_code(spec: str):
+    import ldpcdecoders_tpu as lt
+
+    kind, _, args = spec.partition(":")
+    if kind == "gallager":
+        n, wr, wc = (int(x) for x in args.split(","))
+        return lt.parity_check_matrix(n, wr, wc, rng=42)
+    if kind == "toric":
+        return lt.toric_code_x(int(args))
+    if kind == "surface":
+        return lt.surface_code_x(int(args))
+    if kind == "repetition":
+        return lt.repetition_code(int(args))
+    if kind == "hamming":
+        return lt.hamming_code(int(args))
+    if kind == "pcm":
+        return lt.load_pcm(args)
+    if kind == "npz":
+        from ldpcdecoders_tpu.utils import load_code_npz
+
+        return load_code_npz(args)[0]
+    raise SystemExit(f"unknown code spec '{spec}'")
+
+
+def _decoder_factory(name: str, H, max_iters: int, osd_order: int, T: int, C: float):
+    import ldpcdecoders_tpu as lt
+
+    table = {
+        "bp": lambda per: lt.BeliefPropagationDecoder(H, per, max_iters),
+        "bposd": lambda per: lt.BeliefPropagationOSDDecoder(
+            H, per, max_iters, osd_order=osd_order
+        ),
+        "bitflip": lambda per: lt.BitFlipDecoder(H, per, max_iters),
+        "bpots": lambda per: lt.BPOTSDecoder(H, per, max_iters, T=T, C=C),
+        "minsum": lambda per: lt.MinSumDecoder(H, per, max_iters),
+        "minsum_int8": lambda per: lt.QuantizedMinSumDecoder(H, per, max_iters),
+    }
+    if name not in table:
+        raise SystemExit(f"unknown decoder '{name}' (choose from {sorted(table)})")
+    return table[name]
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="ldpcdecoders_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--code", required=True, help="gallager:n,wr,wc | toric:d | surface:d | repetition:n | hamming:r | pcm:path | npz:path")
+    common.add_argument("--decoder", default="bposd")
+    common.add_argument("--max-iters", type=int, default=100)
+    common.add_argument("--osd-order", type=int, default=0)
+    common.add_argument("--T", type=int, default=9)
+    common.add_argument("--C", type=float, default=2.0)
+    common.add_argument("--batch", type=int, default=1024)
+    common.add_argument("--profile", default=None, help="Perfetto trace dir")
+
+    sp = sub.add_parser("sweep", parents=[common], help="FER sweep with checkpoint/resume")
+    sp.add_argument("--pers", required=True, help="comma-separated physical error rates")
+    sp.add_argument("--trials", type=int, default=10000)
+    sp.add_argument("--checkpoint", default=None)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--max-seconds", type=float, default=None)
+
+    bp = sub.add_parser("bench", parents=[common], help="throughput benchmark")
+    bp.add_argument("--per", type=float, default=0.01)
+
+    a = ap.parse_args(argv)
+
+    from ldpcdecoders_tpu.harness import FERSweep
+    from ldpcdecoders_tpu.utils.profiling import trace
+
+    H = _build_code(a.code)
+    factory = _decoder_factory(a.decoder, H, a.max_iters, a.osd_order, a.T, a.C)
+
+    with trace(a.profile):
+        if a.cmd == "sweep":
+            pers = [float(x) for x in a.pers.split(",")]
+            sweep = FERSweep(
+                H,
+                factory,
+                pers,
+                batch=a.batch,
+                checkpoint_path=a.checkpoint,
+                seed=a.seed,
+            )
+            out = sweep.run(trials_per_point=a.trials, max_seconds=a.max_seconds)
+            print(json.dumps({str(k): v for k, v in out.items()}, indent=2))
+        elif a.cmd == "bench":
+            dec = factory(a.per)
+            rng = np.random.default_rng(0)
+            errs = rng.random((a.batch, H.shape[1])) < a.per
+            syns = (errs @ H.T) % 2
+            dec.batch_decode(syns)  # compile
+            t0 = time.perf_counter()
+            _, conv = dec.batch_decode(syns)
+            dt = time.perf_counter() - t0
+            print(
+                json.dumps(
+                    {
+                        "decoder": a.decoder,
+                        "batch": a.batch,
+                        "syndromes_per_s": round(a.batch / dt, 1),
+                        "converged_fraction": float(conv.mean()),
+                    }
+                )
+            )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -40,9 +40,10 @@ def parity_check_matrix(
     n_equations = (n * wc) // wr
     block_size = n_equations // wc
 
-    block = np.zeros((block_size, n), dtype=np.uint8)
-    for i in range(block_size):
-        block[i, i * wr : (i + 1) * wr] = 1
+    # base block: row i has ones in columns [i*wr, (i+1)*wr)
+    block = np.kron(
+        np.eye(block_size, dtype=np.uint8), np.ones((1, wr), dtype=np.uint8)
+    )
 
     parts = [block]
     for _ in range(wc - 1):

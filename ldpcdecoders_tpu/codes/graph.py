@@ -103,7 +103,9 @@ class TannerGraph:
         H = np.asarray(H)
         if H.ndim != 2:
             raise ValueError("H must be 2-D")
-        H = (H != 0).astype(np.uint8)
+        if H.dtype != np.uint8 or H.max(initial=0) > 1:
+            H = (H != 0).astype(np.uint8)
+        H = np.ascontiguousarray(H)
         m, n = H.shape
 
         chk_deg = H.sum(axis=1).astype(np.int64)

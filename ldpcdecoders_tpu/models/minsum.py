@@ -34,8 +34,15 @@ def make_minsum_decode_fn(
     alpha: float = 1.0,
     beta: float = 0.0,
     dtype=jnp.float32,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
 ):
-    """Build a jittable ``syndromes [B,m] -> (err, converged, iters, llrs)``."""
+    """Build a jittable ``syndromes [B,m] -> (err, converged, iters, llrs)``.
+
+    With ``use_pallas=True`` the check/var updates run as fused Pallas
+    kernels (ops/pallas_minsum.py); the cross-layout gathers remain XLA
+    ops either way.
+    """
     m, n = graph.m, graph.n
     max_dc, max_dv = graph.max_dc, graph.max_dv
     # slot-major layout [B, slot, node]: large node axis in TPU lanes
@@ -79,6 +86,24 @@ def make_minsum_decode_fn(
         total = L0 + jnp.sum(Mg, axis=1)
         nu = total[:, None, :] - Mg
         return nu, total
+
+    if use_pallas:
+        from ..ops.pallas_minsum import check_update_pallas, var_update_pallas
+
+        def check_update(nu_flat, syn_flip):  # noqa: F811
+            B = nu_flat.shape[0]
+            Ng = jnp.take(nu_flat, c2v, axis=1).reshape(B, max_dc, m)
+            return check_update_pallas(
+                Ng, syn_flip, chk_mask, alpha=float(alpha), beta=float(beta),
+                interpret=pallas_interpret,
+            )
+
+        def var_update(mu):  # noqa: F811
+            B = mu.shape[0]
+            Mg = jnp.take(mu.reshape(B, max_dc * m), v2c, axis=1).reshape(B, max_dv, n)
+            return var_update_pallas(
+                Mg, var_mask, L0=float(L0), interpret=pallas_interpret
+            )
 
     def decode(syndromes):
         syndromes = jnp.asarray(syndromes)
@@ -132,7 +157,16 @@ class MinSumDecoder(Decoder):
       beta: offset subtracted from the magnitude before clamping at 0.
     """
 
-    def __init__(self, H, per: float, max_iters: int, *, alpha: float = 1.0, beta: float = 0.0):
+    def __init__(
+        self,
+        H,
+        per: float,
+        max_iters: int,
+        *,
+        alpha: float = 1.0,
+        beta: float = 0.0,
+        use_pallas: bool = False,
+    ):
         self.graph = H if isinstance(H, TannerGraph) else TannerGraph.from_pcm(H)
         self.m, self.n = self.graph.m, self.graph.n
         self.per = float(per)
@@ -141,7 +175,12 @@ class MinSumDecoder(Decoder):
         self.beta = float(beta)
         self._decode_fn = jax.jit(
             make_minsum_decode_fn(
-                self.graph, self.per, self.max_iters, alpha=self.alpha, beta=self.beta
+                self.graph,
+                self.per,
+                self.max_iters,
+                alpha=self.alpha,
+                beta=self.beta,
+                use_pallas=use_pallas,
             )
         )
 

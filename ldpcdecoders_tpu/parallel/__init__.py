@@ -1,4 +1,5 @@
 from .mesh import make_mesh, batch_sharding, shard_batch
+from .multihost import initialize_multihost, global_mesh, allreduce_counts
 from .spmd import (
     sharded_batch_decode,
     decode_with_stats,
@@ -12,4 +13,7 @@ __all__ = [
     "sharded_batch_decode",
     "decode_with_stats",
     "make_check_sharded_minsum_fn",
+    "initialize_multihost",
+    "global_mesh",
+    "allreduce_counts",
 ]

@@ -1,0 +1,59 @@
+"""Multi-host initialization and host-sharded FER accumulation.
+
+For pod-slice deployments: ``jax.distributed`` process group init, a
+global mesh spanning all hosts, per-host syndrome generation, and
+all-reduced failure counts.  Single-host (and test) environments pass
+through unchanged — everything degrades to the local mesh.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["initialize_multihost", "global_mesh", "allreduce_counts"]
+
+
+def initialize_multihost(coordinator: str | None = None, num_processes: int | None = None, process_id: int | None = None):
+    """Initialize jax.distributed when running under a multi-host launcher.
+
+    No-op when single-process (the common local case).  Under a TPU pod
+    launcher (GKE/ray/mpirun) the env provides the coordinator address and
+    ranks, so all arguments are optional.
+    """
+    if jax.process_count() > 1:
+        return  # already initialized by the launcher
+    if coordinator is None and num_processes is None:
+        return  # single-host
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def global_mesh(axis_name: str = "data") -> Mesh:
+    """1-D mesh over every device of every host."""
+    return Mesh(np.asarray(jax.devices()), (axis_name,))
+
+
+def allreduce_counts(local_counts: dict, mesh: Mesh) -> dict:
+    """Sum integer statistic dicts across all hosts/devices.
+
+    Used by FER sweeps running one shard of trials per host: each host
+    passes its local ``{"trials": t, "failures": f, ...}`` and receives
+    the global totals.  On a single host this is the identity.
+    """
+    keys = sorted(local_counts)
+    vec = np.asarray([float(local_counts[k]) for k in keys])
+    if jax.process_count() == 1:
+        out = vec
+    else:
+        from jax.experimental import multihost_utils
+
+        gathered = multihost_utils.process_allgather(vec)  # [procs, k]
+        out = np.asarray(gathered).sum(axis=0)
+    return {k: int(round(float(v))) for k, v in zip(keys, out)}
