@@ -52,7 +52,12 @@ def make_bp_decode_fn(graph: TannerGraph, per: float, max_iters: int, dtype=jnp.
     var_mask = jnp.asarray(var_mask_t)  # [max_dv, n]
     Ht = jnp.asarray(graph.H.T.astype(np.float32))
     one = dtype(1.0)
-    channel_ratio = dtype(per / (1.0 - per))
+    # scalar or per-bit [n] channel prior (the reference's channel_probs
+    # vector, belief_propagation.jl:8-9, always filled with a scalar there)
+    per_arr = np.asarray(per, dtype=np.float64)
+    if per_arr.ndim not in (0, 1) or (per_arr.ndim == 1 and per_arr.shape[0] != n):
+        raise ValueError(f"per must be a scalar or a [{n}] vector")
+    channel_ratio = jnp.asarray(per_arr / (1.0 - per_arr), dtype)
 
     def check_update(Q, syn_sign):
         """Var-side messages Q [B, dv, n] -> check-side R [B, dc, m]."""
@@ -69,7 +74,7 @@ def make_bp_decode_fn(graph: TannerGraph, per: float, max_iters: int, dtype=jnp.
         B = R.shape[0]
         Rg = jnp.take(R.reshape(B, max_dc * m), v2c, axis=1).reshape(B, max_dv, n)
         Rg = jnp.where(var_mask, Rg, one)
-        init = jnp.full((B, n), channel_ratio, dtype)
+        init = jnp.broadcast_to(channel_ratio, (B, n)).astype(dtype)
         Q, total = guarded_exclusive_prod_scan(Rg, init, axis=1)
         logp = jnp.log(one / total)
         err = (total >= one).astype(jnp.float32)
@@ -81,7 +86,7 @@ def make_bp_decode_fn(graph: TannerGraph, per: float, max_iters: int, dtype=jnp.
         syn_f = syndromes.astype(jnp.float32)
         syn_sign = (1.0 - 2.0 * syn_f).astype(dtype)
 
-        Q0 = jnp.where(var_mask, channel_ratio, one) * jnp.ones((B, 1, 1), dtype)  # [B, dv, n]
+        Q0 = jnp.where(var_mask, channel_ratio[None] if channel_ratio.ndim else channel_ratio, one) * jnp.ones((B, 1, 1), dtype)  # [B, dv, n]
         state0 = (
             Q0,
             jnp.zeros((B, n), jnp.float32),  # err
@@ -131,7 +136,7 @@ class BeliefPropagationDecoder(Decoder):
     def __init__(self, H, per: float, max_iters: int, *, dtype=jnp.float32):
         self.graph = H if isinstance(H, TannerGraph) else TannerGraph.from_pcm(H)
         self.m, self.n = self.graph.m, self.graph.n
-        self.per = float(per)
+        self.per = per if np.ndim(per) else float(per)
         self.max_iters = int(max_iters)
         self.dtype = dtype
         self._decode_fn = jax.jit(

@@ -52,8 +52,11 @@ def make_bpots_decode_fn(
     chk_mask = jnp.asarray(chk_mask_t)  # [max_dc, m]
     var_mask = jnp.asarray(var_mask_t)  # [max_dv, n]
     Ht = jnp.asarray(graph.H.T.astype(np.float32))
-    # depolarizing-channel LLR prior (bpots_decoder.jl:231)
-    pi_val = dtype(np.log((1.0 - 2.0 * per / 3.0) / (2.0 * per / 3.0)))
+    # depolarizing-channel LLR prior (bpots_decoder.jl:231); scalar or [n]
+    per_arr = np.asarray(per, dtype=np.float64)
+    if per_arr.ndim not in (0, 1) or (per_arr.ndim == 1 and per_arr.shape[0] != n):
+        raise ValueError(f"per must be a scalar or a [{n}] vector")
+    pi_val = jnp.asarray(np.log((1.0 - 2.0 * per_arr / 3.0) / (2.0 * per_arr / 3.0)), dtype)
     C = dtype(C)
 
     def decode(syndromes):
@@ -64,7 +67,7 @@ def make_bpots_decode_fn(
 
         state0 = dict(
             Mg=jnp.zeros((B, max_dv, n), dtype),  # check->var msgs, var-side
-            Omega=jnp.full((B, n), pi_val, dtype),
+            Omega=jnp.broadcast_to(pi_val, (B, n)).astype(dtype),
             osc=jnp.zeros((B, n), jnp.int32),
             prior_dec=jnp.zeros((B, n), jnp.int32),
             best_dec=jnp.zeros((B, n), jnp.int32),
@@ -182,7 +185,7 @@ class BPOTSDecoder(Decoder):
     def __init__(self, H, per: float, max_iters: int, *, T: int = 9, C: float = 2.0):
         self.graph = H if isinstance(H, TannerGraph) else TannerGraph.from_pcm(H)
         self.m, self.n = self.graph.m, self.graph.n
-        self.per = float(per)
+        self.per = per if np.ndim(per) else float(per)
         self.max_iters = int(max_iters)
         self.T = int(T)
         self.C = float(C)

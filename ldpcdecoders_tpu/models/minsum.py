@@ -52,7 +52,12 @@ def make_minsum_decode_fn(
     chk_mask = jnp.asarray(chk_mask_t)  # [max_dc, m]
     var_mask = jnp.asarray(var_mask_t)  # [max_dv, n]
     Ht = jnp.asarray(graph.H.T.astype(np.float32))
-    L0 = dtype(np.log((1.0 - per) / per))
+    per_arr = np.asarray(per, dtype=np.float64)
+    if per_arr.ndim not in (0, 1) or (per_arr.ndim == 1 and per_arr.shape[0] != n):
+        raise ValueError(f"per must be a scalar or a [{n}] vector")
+    if per_arr.ndim and use_pallas:
+        raise ValueError("use_pallas currently requires a scalar per")
+    L0 = jnp.asarray(np.log((1.0 - per_arr) / per_arr), dtype)
     alpha = dtype(alpha)
     beta = dtype(beta)
     big = dtype(1e30)
@@ -112,9 +117,9 @@ def make_minsum_decode_fn(
         syn_flip = syndromes.astype(bool)
 
         state0 = (
-            jnp.full((B, max_dv, n), L0, dtype),  # nu (var->check)
+            jnp.broadcast_to(L0, (B, max_dv, n)).astype(dtype),  # nu (var->check)
             jnp.zeros((B, n), jnp.float32),  # err
-            jnp.full((B, n), L0, dtype),  # llrs
+            jnp.broadcast_to(L0, (B, n)).astype(dtype),  # llrs
             jnp.zeros((B,), bool),
             jnp.int32(0),
             jnp.zeros((B,), jnp.int32),
@@ -169,7 +174,7 @@ class MinSumDecoder(Decoder):
     ):
         self.graph = H if isinstance(H, TannerGraph) else TannerGraph.from_pcm(H)
         self.m, self.n = self.graph.m, self.graph.n
-        self.per = float(per)
+        self.per = per if np.ndim(per) else float(per)
         self.max_iters = int(max_iters)
         self.alpha = float(alpha)
         self.beta = float(beta)
