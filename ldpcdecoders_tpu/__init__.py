@@ -32,6 +32,7 @@ from .models import (
     BPOTSDecoder,
     MinSumDecoder,
     QuantizedMinSumDecoder,
+    LayeredMinSumDecoder,
 )
 from . import parallel
 

@@ -5,6 +5,7 @@ from .bpots import BPOTSDecoder
 from .bposd import BeliefPropagationOSDDecoder
 from .minsum import MinSumDecoder
 from .minsum_q import QuantizedMinSumDecoder
+from .layered import LayeredMinSumDecoder
 
 __all__ = [
     "Decoder",
@@ -17,4 +18,5 @@ __all__ = [
     "BPOTSDecoder",
     "MinSumDecoder",
     "QuantizedMinSumDecoder",
+    "LayeredMinSumDecoder",
 ]

@@ -1,0 +1,69 @@
+"""Layered-schedule min-sum tests."""
+
+import numpy as np
+import pytest
+
+import ldpcdecoders_tpu as lt
+from ldpcdecoders_tpu.models.layered import build_layers
+
+
+@pytest.fixture(scope="module")
+def code():
+    return lt.parity_check_matrix(240, 8, 4, rng=53)
+
+
+def test_layers_are_conflict_free(code):
+    g = lt.TannerGraph.from_pcm(code)
+    layer_of, L = build_layers(g)
+    assert L >= 1
+    for li in range(L):
+        seen = set()
+        for i in np.flatnonzero(layer_of == li):
+            nbrs = set(g.chk_vars[i, g.chk_mask[i]].tolist())
+            assert not (seen & nbrs), f"layer {li} has a variable conflict"
+            seen |= nbrs
+
+
+def test_gallager_code_has_wc_layers(code):
+    # Gallager construction: each of the wc stacked blocks touches every
+    # variable exactly once -> a natural wc-layer conflict-free partition
+    g = lt.TannerGraph.from_pcm(code)
+    _, L = build_layers(g)
+    assert L == 4  # wc
+
+
+def test_layered_recovers_errors(code):
+    H = code
+    rng = np.random.default_rng(1)
+    errs = rng.random((64, H.shape[1])) < 0.01
+    syns = (errs @ H.T) % 2
+    dec = lt.LayeredMinSumDecoder(H, 0.01, 50)
+    guesses, conv = dec.batch_decode(syns)
+    assert conv.all()
+    assert (guesses.astype(bool) == errs).all()
+
+
+def test_layered_converges_faster_than_flooding(code):
+    H = code
+    rng = np.random.default_rng(2)
+    errs = rng.random((64, H.shape[1])) < 0.03
+    syns = (errs @ H.T) % 2
+    flood = lt.MinSumDecoder(H, 0.03, 100, alpha=0.8)
+    lay = lt.LayeredMinSumDecoder(H, 0.03, 100, alpha=0.8)
+    _, cf, itf, _, _ = flood.batch_decode_detailed(syns)
+    _, cl, itl, _, _ = lay.batch_decode_detailed(syns)
+    assert cl.mean() >= cf.mean() - 0.05
+    both = cf & cl
+    assert itl[both].mean() < itf[both].mean(), "layered should need fewer sweeps"
+
+
+def test_layered_irregular_graph():
+    H = lt.toric_code_x(3)
+    rng = np.random.default_rng(3)
+    errs = rng.random((32, H.shape[1])) < 0.02
+    syns = (errs @ H.T) % 2
+    dec = lt.LayeredMinSumDecoder(H, 0.02, 50)
+    guesses, conv = dec.batch_decode(syns)
+    synhat = (guesses.astype(int) @ H.T) % 2
+    for b in np.flatnonzero(conv):
+        assert np.array_equal(synhat[b], syns[b])
