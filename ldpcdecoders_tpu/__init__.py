@@ -35,5 +35,6 @@ from .models import (
     LayeredMinSumDecoder,
 )
 from . import parallel
+from .config import DecoderConfig
 
 __version__ = "0.1.0"

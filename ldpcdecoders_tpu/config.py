@@ -1,0 +1,83 @@
+"""Frozen decoder configurations (SURVEY.md §5 config-system plan).
+
+The reference configures decoders purely through constructor arguments;
+this module adds a serializable frozen dataclass carrying the same knobs
+plus the TPU-specific ones, so services and sweep jobs can persist and
+rebuild decoders from JSON.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any
+
+__all__ = ["DecoderConfig"]
+
+_KINDS = ("bp", "bposd", "bitflip", "bpots", "minsum", "minsum_int8", "layered_minsum")
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig:
+    """Everything needed to build a decoder, minus the code itself."""
+
+    kind: str
+    per: float = 0.01
+    max_iters: int = 100
+    # decoder-specific knobs (ignored where not applicable)
+    osd_order: int = 0
+    T: int = 9
+    C: float = 2.0
+    alpha: float = 1.0
+    beta: float = 0.0
+    scale: float = 4.0
+    beta_q: int = 1
+    use_pallas: bool = False
+
+    def __post_init__(self):
+        if self.kind not in _KINDS:
+            raise ValueError(f"unknown decoder kind '{self.kind}' (choose from {_KINDS})")
+
+    def build(self, H):
+        """Construct the decoder for parity-check matrix ``H``."""
+        import ldpcdecoders_tpu as lt
+
+        k = self.kind
+        if k == "bp":
+            return lt.BeliefPropagationDecoder(H, self.per, self.max_iters)
+        if k == "bposd":
+            return lt.BeliefPropagationOSDDecoder(
+                H, self.per, self.max_iters, osd_order=self.osd_order
+            )
+        if k == "bitflip":
+            return lt.BitFlipDecoder(H, self.per, self.max_iters)
+        if k == "bpots":
+            return lt.BPOTSDecoder(H, self.per, self.max_iters, T=self.T, C=self.C)
+        if k == "minsum":
+            return lt.MinSumDecoder(
+                H, self.per, self.max_iters,
+                alpha=self.alpha, beta=self.beta, use_pallas=self.use_pallas,
+            )
+        if k == "minsum_int8":
+            return lt.QuantizedMinSumDecoder(
+                H, self.per, self.max_iters, scale=self.scale, beta_q=self.beta_q
+            )
+        if k == "layered_minsum":
+            alpha = self.alpha if self.alpha != 1.0 else 0.8
+            return lt.LayeredMinSumDecoder(
+                H, self.per, self.max_iters, alpha=alpha, beta=self.beta
+            )
+        raise AssertionError(k)
+
+    # -- serialization ----------------------------------------------------
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self))
+
+    @staticmethod
+    def from_json(s: str) -> "DecoderConfig":
+        return DecoderConfig(**json.loads(s))
+
+    @staticmethod
+    def from_dict(d: dict[str, Any]) -> "DecoderConfig":
+        return DecoderConfig(**d)

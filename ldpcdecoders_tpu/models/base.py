@@ -54,6 +54,10 @@ class Decoder:
     m: int
     #: number of variable nodes (columns of H)
     n: int
+    #: whether converged=True guarantees the estimate reproduces the
+    #: syndrome (True for all decoders except bit-flip, whose reference
+    #: semantics also report convergence when no flip is worthwhile)
+    converged_implies_syndrome_match: bool = True
 
     def _decode_batch(self, syndromes, seed: int):
         raise NotImplementedError

@@ -95,6 +95,8 @@ class BitFlipDecoder(Decoder):
     ``seed``.
     """
 
+    converged_implies_syndrome_match = False
+
     def __init__(self, H, per: float = 0.0, max_iters: int = 100):
         self.graph = H if isinstance(H, TannerGraph) else TannerGraph.from_pcm(H)
         self.m, self.n = self.graph.m, self.graph.n

@@ -20,6 +20,16 @@ sublanes and the node axis in lanes (slot-major contract).
 Used by ``make_minsum_decode_fn(..., use_pallas=True)``; numerics are
 bit-identical to the jnp path (same reduction order), tested in
 interpreter mode on CPU.
+
+Measured verdict (TPU v5e, (1000,10,9) code, B=1024, 100 iters): the
+Pallas path reaches 6.6e9 edge-iterations/s vs 2.0e10 for the pure-XLA
+slot-major path — the per-iteration ``pallas_call`` boundaries force the
+gathered arrays through HBM and defeat XLA's gather<->elementwise
+fusion, which at this code size outweighs the in-kernel fusion win.
+The kernels therefore stay **opt-in**: they become interesting for
+codes whose per-tile message state approaches VMEM capacity, and they
+are the scaffolding for a future fully-VMEM-resident decode once Mosaic
+gains an arbitrary-gather primitive.
 """
 
 from __future__ import annotations
@@ -36,54 +46,52 @@ __all__ = ["check_update_pallas", "var_update_pallas"]
 
 
 def _check_kernel(ng_ref, syn_ref, mask_ref, mu_ref, *, alpha, beta, big):
-    # Boolean state is carried as int8 0/1 (xor arithmetic); i1 vectors
-    # appear only as ephemeral comparison results feeding selects —
-    # Mosaic cannot truncate i8 vectors to i1, so no bool tensor may be
-    # materialized or broadcast.
+    # Everything is carried in the message dtype: boolean state as 0/1
+    # floats (xor = |a - b|), the sign flip applied as (1 - 2*flip) * mag.
+    # Mosaic on this toolchain can neither truncate i8 vectors to i1 nor
+    # relayout i1 vectors across tilings, so the only i1 values allowed
+    # are ephemeral same-dtype comparisons feeding same-dtype selects.
     x = ng_ref[:]  # [Bt, dc, M]
-    mask = mask_ref[:]  # [1, dc, M] int8 0/1
-    syn = syn_ref[:]  # [Bt, 1, M] int8 0/1
+    mask = mask_ref[:]  # [1, dc, M] 0/1 in x.dtype
+    syn = syn_ref[:]  # [Bt, 1, M] 0/1 in x.dtype
     dc = x.shape[1]
-    alpha = x.dtype.type(alpha)
-    beta = x.dtype.type(beta)
-    big = x.dtype.type(big)
-    one8 = jnp.int8(1)
-    zero8 = jnp.int8(0)
+    dt = x.dtype.type
+    alpha, beta, big = dt(alpha), dt(beta), dt(big)
+    zero, one, half = dt(0.0), dt(1.0), dt(0.5)
 
-    # masked magnitude; sign bit as int8
-    masked_x = jnp.where(mask != 0, x, big)  # pads: +big (positive, inert)
+    masked_x = jnp.where(mask > half, x, big)  # pads: +big (positive, inert)
     mag = jnp.abs(masked_x)
-    neg = jnp.where(masked_x < x.dtype.type(0), one8, zero8)  # [Bt, dc, M]
+    neg = jnp.where(masked_x < zero, one, zero)  # [Bt, dc, M] 0/1
 
     # one sweep: running (min1, idx1, min2) + sign parity
     min1 = mag[:, 0:1, :]
-    idx1 = jnp.zeros(min1.shape, jnp.int32)
+    idx1 = jnp.zeros_like(min1)
     min2 = jnp.full_like(min1, big)
     parity = neg[:, 0:1, :]
     for k in range(1, dc):
         v = mag[:, k : k + 1, :]
         smaller = v < min1
         min2 = jnp.where(smaller, min1, jnp.minimum(min2, v))
-        idx1 = jnp.where(smaller, k, idx1)
+        idx1 = jnp.where(smaller, dt(k), idx1)
         min1 = jnp.where(smaller, v, min1)
-        parity = jnp.bitwise_xor(parity, neg[:, k : k + 1, :])
+        parity = jnp.abs(parity - neg[:, k : k + 1, :])
 
     for k in range(dc):
-        excl = jnp.where(idx1 == k, min2, min1)
-        flip = jnp.bitwise_xor(jnp.bitwise_xor(parity, neg[:, k : k + 1, :]), syn)
-        mag_out = jnp.maximum(alpha * excl - beta, x.dtype.type(0.0))
-        mu_ref[:, k : k + 1, :] = jnp.where(flip != 0, -mag_out, mag_out)
+        excl = jnp.where(jnp.abs(idx1 - dt(k)) < half, min2, min1)
+        flip = jnp.abs(jnp.abs(parity - neg[:, k : k + 1, :]) - syn)
+        mag_out = jnp.maximum(alpha * excl - beta, zero)
+        mu_ref[:, k : k + 1, :] = (one - dt(2.0) * flip) * mag_out
 
 
 def _var_kernel(mg_ref, mask_ref, nu_ref, total_ref, *, L0):
     mg = mg_ref[:]  # [Bt, dv, N]
-    mg = jnp.where(mask_ref[:] != 0, mg, jnp.zeros_like(mg))
+    mg = jnp.where(mask_ref[:] > mg.dtype.type(0.5), mg, jnp.zeros_like(mg))
     total = jnp.float32(L0) + jnp.sum(mg.astype(jnp.float32), axis=1, keepdims=True)
     nu_ref[:] = (total - mg.astype(jnp.float32)).astype(mg.dtype)
     total_ref[:] = total.astype(mg.dtype)
 
 
-def check_update_pallas(Ng, syn_flip, chk_mask, *, alpha, beta, batch_tile=64, interpret=False):
+def check_update_pallas(Ng, syn_flip, chk_mask, *, alpha, beta, batch_tile=16, interpret=False):
     """Fused check update: ``Ng [B, dc, m] -> mu [B, dc, m]``.
 
     Args:
@@ -112,10 +120,10 @@ def check_update_pallas(Ng, syn_flip, chk_mask, *, alpha, beta, batch_tile=64, i
         out_specs=pl.BlockSpec((bt, dc, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, dc, m), Ng.dtype),
         interpret=interpret,
-    )(Ng, syn_flip[:, None, :].astype(jnp.int8), chk_mask[None].astype(jnp.int8))
+    )(Ng, syn_flip[:, None, :].astype(Ng.dtype), chk_mask[None].astype(Ng.dtype))
 
 
-def var_update_pallas(Mg, var_mask, *, L0, batch_tile=64, interpret=False):
+def var_update_pallas(Mg, var_mask, *, L0, batch_tile=32, interpret=False):
     """Fused var update: ``Mg [B, dv, n] -> (nu [B, dv, n], total [B, n])``."""
     B, dv, n = Mg.shape
     bt = min(batch_tile, B)
@@ -138,5 +146,5 @@ def var_update_pallas(Mg, var_mask, *, L0, batch_tile=64, interpret=False):
             jax.ShapeDtypeStruct((B, 1, n), Mg.dtype),
         ),
         interpret=interpret,
-    )(Mg, var_mask[None].astype(jnp.int8))
+    )(Mg, var_mask[None].astype(Mg.dtype))
     return nu, total[:, 0, :]
