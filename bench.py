@@ -21,6 +21,18 @@ import numpy as np
 
 def main():
     import jax
+
+    try:  # persistent compilation cache: amortizes the multi-minute
+        # remote-compile cost of the tunneled TPU across bench runs
+        import os
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("LDPC_JAX_CACHE", os.path.join(os.path.dirname(__file__) or ".", ".jax_cache")),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     import ldpcdecoders_tpu as lt

@@ -1,0 +1,72 @@
+"""Large-code throughput benchmark: production-scale Tanner graphs.
+
+A 65k-variable (8,4)-regular Gallager code (262k edges) exercises the
+native graph compiler and the decoders at a scale where the naive dense
+message matrices of the reference (s x n doubles = 17 GB) could not even
+be allocated.  Prints one JSON object.
+
+Usage:  python benchmarks/large_code.py [--n 65536] [--batch 128]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def run(n=65536, wr=8, wc=4, batch=128, iters=20):
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, ".")
+    import ldpcdecoders_tpu as lt
+    from ldpcdecoders_tpu.models.minsum import make_minsum_decode_fn
+    from ldpcdecoders_tpu.models.minsum_q import make_minsum_q_decode_fn
+
+    t0 = time.perf_counter()
+    H = lt.parity_check_matrix(n, wr, wc, rng=42)
+    t_gen = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    graph = lt.TannerGraph.from_pcm(H)
+    t_compile = time.perf_counter() - t0
+
+    rng = np.random.default_rng(0)
+    hard = rng.random((batch, n)) < 0.5
+    syns = jnp.asarray((hard.astype(np.int64) @ H.T.astype(np.int64)) % 2, dtype=jnp.uint8)
+    work = batch * iters * graph.n_edges
+
+    results = {
+        "code": f"({n},{wr},{wc})",
+        "edges": graph.n_edges,
+        "batch": batch,
+        "iters": iters,
+        "host_gen_s": round(t_gen, 2),
+        "graph_compile_s": round(t_compile, 2),
+    }
+    for name, fn in {
+        "minsum_f32": jax.jit(make_minsum_decode_fn(graph, 0.01, iters)),
+        "minsum_int8": jax.jit(make_minsum_q_decode_fn(graph, 0.01, iters)),
+    }.items():
+        out = fn(syns)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        out = fn(syns)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        results[name + "_edge_iters_per_s"] = round(work / dt, 1)
+
+    results["device"] = str(jax.devices()[0])
+    print(json.dumps(results))
+    return results
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=65536)
+    ap.add_argument("--batch", type=int, default=128)
+    a = ap.parse_args()
+    run(n=a.n, batch=a.batch)

@@ -33,6 +33,7 @@ from .models import (
     MinSumDecoder,
     QuantizedMinSumDecoder,
     LayeredMinSumDecoder,
+    BucketedDecoder,
 )
 from . import parallel
 from .config import DecoderConfig

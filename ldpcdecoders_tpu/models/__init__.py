@@ -6,6 +6,7 @@ from .bposd import BeliefPropagationOSDDecoder
 from .minsum import MinSumDecoder
 from .minsum_q import QuantizedMinSumDecoder
 from .layered import LayeredMinSumDecoder
+from .bucketed import BucketedDecoder
 
 __all__ = [
     "Decoder",
@@ -19,4 +20,5 @@ __all__ = [
     "MinSumDecoder",
     "QuantizedMinSumDecoder",
     "LayeredMinSumDecoder",
+    "BucketedDecoder",
 ]
