@@ -56,13 +56,24 @@ class TannerGraph:
     max_dc: int
     max_dv: int
     n_edges: int
-    H: np.ndarray
+    #: dense [m, n] uint8 H — present for graphs built from a dense matrix;
+    #: None for graphs compiled from sparse edge lists (production-scale
+    #: codes never materialize H; only OSD and small-code tools need it)
+    H: np.ndarray | None
     chk_vars: np.ndarray
     chk_mask: np.ndarray
     var_chks: np.ndarray
     var_mask: np.ndarray
     c2v_gather: np.ndarray
     v2c_gather: np.ndarray
+
+    def require_H(self) -> np.ndarray:
+        if self.H is None:
+            raise ValueError(
+                "this operation needs the dense parity-check matrix, but the "
+                "graph was compiled from a sparse edge list (from_edges)"
+            )
+        return self.H
 
     def slot_major(self):
         """Gather indices + masks for the slot-major device layout.
@@ -86,6 +97,87 @@ class TannerGraph:
             np.ascontiguousarray(v2c_t.reshape(-1)),
             np.ascontiguousarray(self.chk_mask.T),
             np.ascontiguousarray(self.var_mask.T),
+        )
+
+    @staticmethod
+    def from_edges(
+        rows, cols, m: int, n: int, *, degree_multiple: int = 1, H: np.ndarray | None = None
+    ) -> "TannerGraph":
+        """Compile a sparse COO edge list into padded edge-list form.
+
+        Fully vectorized (argsort + group-rank arithmetic) — the
+        production path for codes too large to materialize densely.
+
+        Args:
+          rows, cols: parallel int arrays of edge endpoints (check, var).
+          m, n: matrix dimensions.
+          degree_multiple: pad degrees to a multiple of this.
+          H: optional dense matrix to attach (for OSD / debug tools).
+        """
+        rows = np.asarray(rows, dtype=np.int64)
+        cols = np.asarray(cols, dtype=np.int64)
+        if rows.shape != cols.shape or rows.ndim != 1:
+            raise ValueError("rows/cols must be parallel 1-D arrays")
+        if rows.size and (rows.min() < 0 or rows.max() >= m or cols.min() < 0 or cols.max() >= n):
+            raise ValueError("edge indices out of range")
+        E = rows.size
+
+        def group_ranks(sorted_ids):
+            idx = np.arange(len(sorted_ids), dtype=np.int64)
+            if len(sorted_ids) == 0:
+                return idx
+            starts = np.zeros(len(sorted_ids), np.int64)
+            firsts = np.r_[0, np.flatnonzero(np.diff(sorted_ids)) + 1]
+            starts[firsts] = firsts
+            return idx - np.maximum.accumulate(starts)
+
+        order_c = np.lexsort((cols, rows))  # check-major (i, then j)
+        rc, cc = rows[order_c], cols[order_c]
+        slot_c_sorted = group_ranks(rc)
+        order_v = np.lexsort((rows, cols))  # var-major (j, then i)
+        rv, cv = rows[order_v], cols[order_v]
+        slot_v_sorted = group_ranks(cv)
+
+        chk_deg = np.bincount(rows, minlength=m)
+        var_deg = np.bincount(cols, minlength=n)
+        if E and (np.diff(np.stack([rc, cc]), axis=1) == 0).all(axis=0).any():
+            raise ValueError("duplicate edges in the edge list")
+        max_dc = _round_up(max(1, int(chk_deg.max(initial=1))), degree_multiple)
+        max_dv = _round_up(max(1, int(var_deg.max(initial=1))), degree_multiple)
+
+        # per-original-edge slots in each layout
+        slot_c = np.empty(E, np.int64)
+        slot_c[order_c] = slot_c_sorted
+        slot_v = np.empty(E, np.int64)
+        slot_v[order_v] = slot_v_sorted
+
+        chk_vars = np.zeros((m, max_dc), np.int32)
+        chk_mask = np.zeros((m, max_dc), bool)
+        var_chks = np.zeros((n, max_dv), np.int32)
+        var_mask = np.zeros((n, max_dv), bool)
+        c2v_gather = np.zeros((m, max_dc), np.int32)
+        v2c_gather = np.zeros((n, max_dv), np.int32)
+
+        chk_vars[rows, slot_c] = cols
+        chk_mask[rows, slot_c] = True
+        var_chks[cols, slot_v] = rows
+        var_mask[cols, slot_v] = True
+        c2v_gather[rows, slot_c] = cols * max_dv + slot_v
+        v2c_gather[cols, slot_v] = rows * max_dc + slot_c
+
+        return TannerGraph(
+            m=m,
+            n=n,
+            max_dc=max_dc,
+            max_dv=max_dv,
+            n_edges=int(E),
+            H=H,
+            chk_vars=chk_vars,
+            chk_mask=chk_mask,
+            var_chks=var_chks,
+            var_mask=var_mask,
+            c2v_gather=c2v_gather,
+            v2c_gather=v2c_gather,
         )
 
     @staticmethod

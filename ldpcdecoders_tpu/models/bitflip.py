@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..codes.graph import TannerGraph
-from ..ops.syndrome import syndrome_of
+from ..ops.syndrome import make_syndrome_fn
 from .base import Decoder
 
 __all__ = ["BitFlipDecoder", "make_bitflip_decode_fn"]
@@ -30,8 +30,18 @@ __all__ = ["BitFlipDecoder", "make_bitflip_decode_fn"]
 def make_bitflip_decode_fn(graph: TannerGraph, max_iters: int):
     """Build a jittable ``(syndromes [B,m], key) -> (err, converged, iters)``."""
     n = graph.n
-    Hf = jnp.asarray(graph.H.astype(np.float32))  # [m, n]
-    Ht = Hf.T  # [n, m]
+    max_dv = graph.max_dv
+    syndrome_from = make_syndrome_fn(graph)
+    # vote accumulation: votes[b, j] = sum over j's neighbor checks of
+    # +/-1 — an O(edges) gather over the var-side adjacency (no dense H)
+    var_chks = jnp.asarray(np.ascontiguousarray(graph.var_chks.T).reshape(-1))
+    var_mask = jnp.asarray(np.ascontiguousarray(graph.var_mask.T))  # [dv, n]
+
+    def votes_from(signed_mismatch):  # [B, m] of +/-1
+        B = signed_mismatch.shape[0]
+        g = jnp.take(signed_mismatch, var_chks, axis=1).reshape(B, max_dv, n)
+        g = jnp.where(var_mask, g, 0.0)
+        return jnp.sum(g, axis=1)
 
     def decode(syndromes, key):
         syndromes = jnp.asarray(syndromes)
@@ -53,10 +63,10 @@ def make_bitflip_decode_fn(graph: TannerGraph, max_iters: int):
         def body(state):
             err, votes, done, it, iters = state
             active = ~done
-            syn_hat = syndrome_of(err, Ht)
+            syn_hat = syndrome_from(err)
             match = jnp.all(syn_hat == syn_f, axis=-1)
             mismatch = (syn_hat != syn_f).astype(jnp.float32)
-            dv = jnp.dot(2.0 * mismatch - 1.0, Hf, preferred_element_type=jnp.float32)
+            dv = votes_from(2.0 * mismatch - 1.0)
             update = active & ~match
             votes = jnp.where(update[:, None], votes + dv, votes)
             maxv = jnp.max(votes, axis=-1)

@@ -30,7 +30,7 @@ import numpy as np
 
 from ..codes.graph import TannerGraph
 from ..ops.exclusive import exclusive_prods, guarded_exclusive_prod_scan
-from ..ops.syndrome import syndrome_of
+from ..ops.syndrome import make_syndrome_fn
 from .base import Decoder
 
 __all__ = ["BeliefPropagationDecoder", "make_bp_decode_fn"]
@@ -50,7 +50,7 @@ def make_bp_decode_fn(graph: TannerGraph, per: float, max_iters: int, dtype=jnp.
     v2c = jnp.asarray(v2c_t)
     chk_mask = jnp.asarray(chk_mask_t)  # [max_dc, m]
     var_mask = jnp.asarray(var_mask_t)  # [max_dv, n]
-    Ht = jnp.asarray(graph.H.T.astype(np.float32))
+    syndrome_from = make_syndrome_fn(graph)  # O(edges), no dense H
     one = dtype(1.0)
     # scalar or per-bit [n] channel prior (the reference's channel_probs
     # vector, belief_propagation.jl:8-9, always filled with a scalar there)
@@ -111,7 +111,7 @@ def make_bp_decode_fn(graph: TannerGraph, per: float, max_iters: int, dtype=jnp.
             # memory pass over the edge arrays per iteration.
             err = jnp.where(active[:, None], errn, err)
             logp = jnp.where(active[:, None], logpn, logp)
-            ok = jnp.all(syndrome_of(err, Ht) == syn_f, axis=-1)
+            ok = jnp.all(syndrome_from(err) == syn_f, axis=-1)
             iters = jnp.where(ok & active, it + 1, iters)
             return Qn, err, logp, done | ok, it + 1, iters
 

@@ -51,7 +51,7 @@ def make_osd_fns(graph: TannerGraph, osd_order: int):
     Each takes ``(syndromes [B,m], bp_err [B,n], log_probabs [B,n])`` in
     *unsorted* column order and returns the ``[B, n]`` corrected error.
     """
-    H_cols = jnp.asarray(graph.H.T.astype(np.uint32))  # [n, m] for column gather
+    H_cols = jnp.asarray(graph.require_H().T.astype(np.uint32))  # [n, m] for column gather
     n, m = graph.n, graph.m
 
     def sort_and_pack(syndrome, bp_err, logp):
@@ -104,7 +104,7 @@ class BeliefPropagationOSDDecoder(Decoder):
         self.max_iters = int(max_iters)
         if osd_order < 0:
             raise ValueError("osd_order must be >= 0")
-        max_order = self.n - np.linalg.matrix_rank(self.graph.H.astype(np.float64))
+        max_order = self.n - np.linalg.matrix_rank(self.graph.require_H().astype(np.float64))
         if osd_order > max_order:
             # reference warns and clamps (belief_propagation_osd.jl:174-177)
             import warnings

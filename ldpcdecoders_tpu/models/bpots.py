@@ -29,7 +29,7 @@ import numpy as np
 
 from ..codes.graph import TannerGraph
 from ..ops.exclusive import exclusive_prods
-from ..ops.syndrome import syndrome_of
+from ..ops.syndrome import make_syndrome_fn
 from .base import Decoder
 
 __all__ = ["BPOTSDecoder", "make_bpots_decode_fn"]
@@ -51,7 +51,7 @@ def make_bpots_decode_fn(
     v2c = jnp.asarray(v2c_t)
     chk_mask = jnp.asarray(chk_mask_t)  # [max_dc, m]
     var_mask = jnp.asarray(var_mask_t)  # [max_dv, n]
-    Ht = jnp.asarray(graph.H.T.astype(np.float32))
+    syndrome_from = make_syndrome_fn(graph)
     # depolarizing-channel LLR prior (bpots_decoder.jl:231); scalar or [n]
     per_arr = np.asarray(per, dtype=np.float64)
     if per_arr.ndim not in (0, 1) or (per_arr.ndim == 1 and per_arr.shape[0] != n):
@@ -112,7 +112,7 @@ def make_bpots_decode_fn(
             osc = s["osc"] + jnp.where(it >= 1, dec ^ s["prior_dec"], 0)
 
             # syndrome mismatch + weight
-            syn_hat = syndrome_of(dec.astype(jnp.float32), Ht)
+            syn_hat = syndrome_from(dec.astype(jnp.float32))
             mis = jnp.sum(syn_hat != syn_f, axis=-1).astype(jnp.int32)
             weight = jnp.sum(dec, axis=-1).astype(jnp.int32)
 

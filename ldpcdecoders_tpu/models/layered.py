@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..codes.graph import TannerGraph
-from ..ops.syndrome import syndrome_of
+from ..ops.syndrome import make_syndrome_fn
 from .base import Decoder
 
 __all__ = ["LayeredMinSumDecoder", "make_layered_minsum_fn", "build_layers"]
@@ -93,7 +93,7 @@ def make_layered_minsum_fn(
     cm = jnp.asarray(chk_mask_l)
     sg = jnp.asarray(syn_gather_l)
     sv = jnp.asarray(slot_valid)
-    Ht = jnp.asarray(graph.H.T.astype(np.float32))
+    syndrome_from = make_syndrome_fn(graph)
     per_arr = np.asarray(per, dtype=np.float64)
     L0 = jnp.asarray(np.log((1.0 - per_arr) / per_arr), dtype)
     alpha = dtype(alpha)
@@ -155,7 +155,7 @@ def make_layered_minsum_fn(
             errn = (total_n < 0).astype(jnp.float32)
             active = ~done
             err = jnp.where(active[:, None], errn, err)
-            ok = jnp.all(syndrome_of(err, Ht) == syn_f, axis=-1)
+            ok = jnp.all(syndrome_from(err) == syn_f, axis=-1)
             iters = jnp.where(ok & active, it + 1, iters)
             return mu_n, total_n, err, done | ok, it + 1, iters
 

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..codes.graph import TannerGraph
-from ..ops.syndrome import syndrome_of
+from ..ops.syndrome import make_syndrome_fn
 from .base import Decoder
 
 __all__ = ["MinSumDecoder", "make_minsum_decode_fn"]
@@ -51,7 +51,7 @@ def make_minsum_decode_fn(
     v2c = jnp.asarray(v2c_t)
     chk_mask = jnp.asarray(chk_mask_t)  # [max_dc, m]
     var_mask = jnp.asarray(var_mask_t)  # [max_dv, n]
-    Ht = jnp.asarray(graph.H.T.astype(np.float32))
+    syndrome_from = make_syndrome_fn(graph)
     per_arr = np.asarray(per, dtype=np.float64)
     if per_arr.ndim not in (0, 1) or (per_arr.ndim == 1 and per_arr.shape[0] != n):
         raise ValueError(f"per must be a scalar or a [{n}] vector")
@@ -139,7 +139,7 @@ def make_minsum_decode_fn(
             # done lanes cannot influence any output (saves a memory pass)
             err = jnp.where(active[:, None], errn, err)
             llrs = jnp.where(active[:, None], total, llrs)
-            ok = jnp.all(syndrome_of(err, Ht) == syn_f, axis=-1)
+            ok = jnp.all(syndrome_from(err) == syn_f, axis=-1)
             iters = jnp.where(ok & active, it + 1, iters)
             return nu_n, err, llrs, done | ok, it + 1, iters
 

@@ -10,7 +10,7 @@ decoder stores messages as int8 fixed-point LLRs (configurable
 
 Arithmetic: min/sign/compare run natively on int8/int32 VPU lanes; the
 per-variable totals accumulate in int32 (degree * 127 never overflows).
-The syndrome check stays an exact small-integer MXU matmul.
+The syndrome check is the O(edges) gather-based form (no dense H).
 """
 
 from __future__ import annotations
@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..codes.graph import TannerGraph
-from ..ops.syndrome import syndrome_of
+from ..ops.syndrome import make_syndrome_fn
 from .base import Decoder
 
 __all__ = ["QuantizedMinSumDecoder", "make_minsum_q_decode_fn"]
@@ -48,19 +48,13 @@ def make_minsum_q_decode_fn(
     """
     m, n = graph.m, graph.n
     max_dc, max_dv = graph.max_dc, graph.max_dv
-    # slot-major layout [B, slot, node]: the node axis (m or n, large) sits
-    # in the minor/lane dimension so every elementwise op uses all 128 VPU
-    # lanes, and the degree reductions run across sublanes.  (The naive
-    # [B, node, slot] layout puts slot (~10) in lanes — 8% utilization.)
-    c2v_nm = graph.c2v_gather  # values j*max_dv + kv, shape [m, max_dc]
-    c2v_t = ((c2v_nm % max_dv) * n + (c2v_nm // max_dv)).T.reshape(-1)
-    v2c_mn = graph.v2c_gather  # values i*max_dc + kc, shape [n, max_dv]
-    v2c_t = ((v2c_mn % max_dc) * m + (v2c_mn // max_dc)).T.reshape(-1)
-    c2v = jnp.asarray(np.ascontiguousarray(c2v_t))
-    v2c = jnp.asarray(np.ascontiguousarray(v2c_t))
-    chk_mask = jnp.asarray(graph.chk_mask.T)  # [max_dc, m]
-    var_mask = jnp.asarray(graph.var_mask.T)  # [max_dv, n]
-    Ht = jnp.asarray(graph.H.T.astype(np.float32))
+    # slot-major layout [B, slot, node]: large node axis in TPU lanes
+    c2v_t, v2c_t, chk_mask_t, var_mask_t = graph.slot_major()
+    c2v = jnp.asarray(c2v_t)
+    v2c = jnp.asarray(v2c_t)
+    chk_mask = jnp.asarray(chk_mask_t)  # [max_dc, m]
+    var_mask = jnp.asarray(var_mask_t)  # [max_dv, n]
+    syndrome_from = make_syndrome_fn(graph)
     L0f = float(np.log((1.0 - per) / per) * scale)
     L0q = int(np.clip(round(L0f), -127, 127))
 
@@ -123,7 +117,7 @@ def make_minsum_q_decode_fn(
             # freeze only the [B, n] outputs (see minsum.py)
             err = jnp.where(active[:, None], errn, err)
             llr = jnp.where(active[:, None], total, llr)
-            ok = jnp.all(syndrome_of(err, Ht) == syn_f, axis=-1)
+            ok = jnp.all(syndrome_from(err) == syn_f, axis=-1)
             iters = jnp.where(ok & active, it + 1, iters)
             return nu_n, err, llr, done | ok, it + 1, iters
 

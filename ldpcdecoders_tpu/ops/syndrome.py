@@ -1,18 +1,41 @@
-"""Batched GF(2) syndrome computation on the MXU.
+"""Batched GF(2) syndrome computation.
 
 The reference computes ``(H * err) .% 2`` with a sparse mat-vec per decode
-iteration (/root/reference/src/decoders/belief_propagation.jl:180-184).  On
-TPU the same check is a dense ``[B, n] @ [n, m]`` matmul: row weights of
-LDPC codes are tiny, so the integer-valued partial sums are exact in
-float32 (and even bfloat16), and the MXU makes this essentially free at
-batch size >= 128.
+iteration (/root/reference/src/decoders/belief_propagation.jl:180-184).
+Two TPU-native forms:
+
+  * :func:`make_syndrome_fn` — O(edges) gather + degree-axis sum over the
+    padded adjacency (slot-major).  This is the production path: it never
+    materializes H densely, so it scales to million-variable codes.
+  * :func:`syndrome_of` — dense ``[B, n] @ [n, m]`` MXU matmul, used where
+    a dense H is already around (tests, small-code tools).
+
+Both are exact: LDPC row weights are tiny integers, far inside float32's
+exact range.
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-__all__ = ["syndrome_of", "syndrome_matches"]
+__all__ = ["syndrome_of", "syndrome_matches", "make_syndrome_fn"]
+
+
+def make_syndrome_fn(graph):
+    """Build ``err [B, n] float 0/1 -> syndrome [B, m] float 0/1`` from the
+    padded adjacency (no dense H)."""
+    max_dc, m = graph.max_dc, graph.m
+    chk_vars = jnp.asarray(np.ascontiguousarray(graph.chk_vars.T).reshape(-1))
+    chk_mask = jnp.asarray(np.ascontiguousarray(graph.chk_mask.T))  # [dc, m]
+
+    def syndrome_from(err):
+        B = err.shape[0]
+        g = jnp.take(err, chk_vars, axis=1).reshape(B, max_dc, m)
+        g = jnp.where(chk_mask, g, 0.0)
+        return jnp.mod(jnp.sum(g, axis=1), 2.0)
+
+    return syndrome_from
 
 
 def syndrome_of(err, Ht):

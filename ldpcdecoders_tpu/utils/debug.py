@@ -32,7 +32,7 @@ def check_decode_invariants(decoder, syndromes, errors, converged, aux=None) -> 
     * every converged lane's estimate reproduces its syndrome;
     * auxiliary soft outputs contain no NaNs.
     """
-    H = decoder.graph.H
+    H = decoder.graph.require_H()
     errors = np.asarray(errors)
     syndromes = np.asarray(syndromes)
     converged = np.asarray(converged)
