@@ -135,14 +135,27 @@ class FERSweep:
         """
         t_start = time.perf_counter()
         n = self.H.shape[1]
+        shared_decoder = None  # one compiled program reused across noise
+        # points when the decoder supports per-call prior overrides
+        per_kw_ok = True
         for per, pt in self.points.items():
             decoder = None
+            per_kw = {}
             while pt.trials < trials_per_point:
                 if max_seconds is not None and time.perf_counter() - t_start > max_seconds:
                     self._save_checkpoint()
                     return self.summaries()
                 if decoder is None:
-                    decoder = self.decoder_factory(per)
+                    if shared_decoder is not None and per_kw_ok:
+                        decoder = shared_decoder
+                        per_kw = {"per": per}
+                    else:
+                        decoder = self.decoder_factory(per)
+                        if shared_decoder is None and per_kw_ok:
+                            shared_decoder = decoder
+                            # pass per explicitly from the start so every
+                            # noise point shares one traced program
+                            per_kw = {"per": per}
                 step = pt.trials // self.batch
                 rng = np.random.default_rng(
                     (self.seed, int(per * 1e9) & 0x7FFFFFFF, step)
@@ -151,9 +164,21 @@ class FERSweep:
                 errs = sample_errors(rng, b, n, per)
                 syns = syndromes_of(self.H, errs)
                 t0 = time.perf_counter()
-                guesses, conv, iters, aux, _ = decoder.batch_decode_detailed(
-                    syns, seed=self.seed + step
-                )
+                try:
+                    guesses, conv, iters, aux, _ = decoder.batch_decode_detailed(
+                        syns, seed=self.seed + step, **per_kw
+                    )
+                except ValueError:
+                    if not per_kw:
+                        raise
+                    # decoder kind doesn't support prior overrides: fall
+                    # back to one decoder per noise point
+                    per_kw_ok = False
+                    per_kw = {}
+                    decoder = self.decoder_factory(per)
+                    guesses, conv, iters, aux, _ = decoder.batch_decode_detailed(
+                        syns, seed=self.seed + step
+                    )
                 dt = time.perf_counter() - t0
                 exact = (guesses.astype(bool) == errs).all(axis=1)
                 synhat = syndromes_of(self.H, guesses)

@@ -62,16 +62,32 @@ class Decoder:
     def _decode_batch(self, syndromes, seed: int):
         raise NotImplementedError
 
+    def _call_decode(self, syndromes, seed, per):
+        if per is None:
+            return self._decode_batch(syndromes, seed)
+        import inspect
+
+        if "per" not in inspect.signature(self._decode_batch).parameters:
+            raise ValueError(
+                f"{type(self).__name__} does not support per-call channel "
+                "prior overrides"
+            )
+        return self._decode_batch(syndromes, seed, per=per)
+
     # -- public API -------------------------------------------------------
 
-    def decode(self, syndrome, *, seed: int = 0):
+    def decode(self, syndrome, *, seed: int = 0, per=None):
         """Decode one syndrome; returns ``(error[n] int8, converged bool)``."""
         syndrome = np.asarray(syndrome)
-        errors, converged = self.batch_decode(syndrome[None, :], seed=seed)
+        errors, converged = self.batch_decode(syndrome[None, :], seed=seed, per=per)
         return errors[0], bool(converged[0])
 
-    def batch_decode(self, syndromes, *, seed: int = 0):
+    def batch_decode(self, syndromes, *, seed: int = 0, per=None):
         """Decode a batch; ``syndromes`` is ``[B, m]`` (batch-first).
+
+        ``per`` optionally overrides the constructor's physical error rate
+        *without recompiling* (the channel prior is a traced argument) —
+        FER sweeps reuse one compiled program across noise points.
 
         Returns ``(errors [B, n] int8, converged [B] bool)``.
         """
@@ -80,14 +96,14 @@ class Decoder:
             raise ValueError(
                 f"expected syndromes of shape [B, {self.m}], got {syndromes.shape}"
             )
-        errors, converged, _, _ = self._decode_batch(syndromes, seed)
+        errors, converged, _, _ = self._call_decode(syndromes, seed, per)
         return np.asarray(errors), np.asarray(converged)
 
-    def batch_decode_detailed(self, syndromes, *, seed: int = 0):
+    def batch_decode_detailed(self, syndromes, *, seed: int = 0, per=None):
         """Like :meth:`batch_decode` but also returns iteration counts,
         decoder-specific auxiliary output, and :class:`DecodeStats`."""
         syndromes = np.asarray(syndromes)
-        errors, converged, iters, aux = self._decode_batch(syndromes, seed)
+        errors, converged, iters, aux = self._call_decode(syndromes, seed, per)
         errors = np.asarray(errors)
         converged = np.asarray(converged)
         iters = np.asarray(iters)

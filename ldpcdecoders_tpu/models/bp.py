@@ -36,6 +36,14 @@ from .base import Decoder
 __all__ = ["BeliefPropagationDecoder", "make_bp_decode_fn"]
 
 
+def _as_ratio(per, n, dtype):
+    """Validate a scalar-or-[n] prior and convert to probability ratio."""
+    per_arr = np.asarray(per, dtype=np.float64)
+    if per_arr.ndim not in (0, 1) or (per_arr.ndim == 1 and per_arr.shape[0] != n):
+        raise ValueError(f"per must be a scalar or a [{n}] vector")
+    return jnp.asarray(per_arr / (1.0 - per_arr), dtype)
+
+
 def make_bp_decode_fn(graph: TannerGraph, per: float, max_iters: int, dtype=jnp.float32):
     """Build a jittable ``syndromes [B, m] -> (err, converged, iters, logp)``.
 
@@ -54,10 +62,7 @@ def make_bp_decode_fn(graph: TannerGraph, per: float, max_iters: int, dtype=jnp.
     one = dtype(1.0)
     # scalar or per-bit [n] channel prior (the reference's channel_probs
     # vector, belief_propagation.jl:8-9, always filled with a scalar there)
-    per_arr = np.asarray(per, dtype=np.float64)
-    if per_arr.ndim not in (0, 1) or (per_arr.ndim == 1 and per_arr.shape[0] != n):
-        raise ValueError(f"per must be a scalar or a [{n}] vector")
-    channel_ratio = jnp.asarray(per_arr / (1.0 - per_arr), dtype)
+    default_ratio = _as_ratio(per, n, dtype)
 
     def check_update(Q, syn_sign):
         """Var-side messages Q [B, dv, n] -> check-side R [B, dc, m]."""
@@ -69,7 +74,7 @@ def make_bp_decode_fn(graph: TannerGraph, per: float, max_iters: int, dtype=jnp.
         r = syn_sign[:, None, :] * fwd * bwd
         return (one - r) / (one + r)
 
-    def var_update(R):
+    def var_update(R, channel_ratio):
         """Check-side R [B, dc, m] -> (Q [B, dv, n], err [B, n], logp)."""
         B = R.shape[0]
         Rg = jnp.take(R.reshape(B, max_dc * m), v2c, axis=1).reshape(B, max_dv, n)
@@ -80,13 +85,22 @@ def make_bp_decode_fn(graph: TannerGraph, per: float, max_iters: int, dtype=jnp.
         err = (total >= one).astype(jnp.float32)
         return Q, err, logp
 
-    def decode(syndromes):
+    def decode(syndromes, channel_ratio=None):
+        # channel_ratio is a *traced* argument so one compiled program
+        # serves every noise point of an FER sweep
+        if channel_ratio is None:
+            channel_ratio = default_ratio
+        channel_ratio = jnp.asarray(channel_ratio, dtype)
         syndromes = jnp.asarray(syndromes)
         B = syndromes.shape[0]
         syn_f = syndromes.astype(jnp.float32)
         syn_sign = (1.0 - 2.0 * syn_f).astype(dtype)
 
-        Q0 = jnp.where(var_mask, channel_ratio[None] if channel_ratio.ndim else channel_ratio, one) * jnp.ones((B, 1, 1), dtype)  # [B, dv, n]
+        Q0 = jnp.where(
+            var_mask,
+            channel_ratio[None] if channel_ratio.ndim else channel_ratio,
+            one,
+        ) * jnp.ones((B, 1, 1), dtype)  # [B, dv, n]
         state0 = (
             Q0,
             jnp.zeros((B, n), jnp.float32),  # err
@@ -103,7 +117,7 @@ def make_bp_decode_fn(graph: TannerGraph, per: float, max_iters: int, dtype=jnp.
         def body(state):
             Q, err, logp, done, it, iters = state
             R = check_update(Q, syn_sign)
-            Qn, errn, logpn = var_update(R)
+            Qn, errn, logpn = var_update(R, channel_ratio)
             active = ~done
             # Only the [B, n] outputs are frozen on convergence; the [B, E]
             # message state may keep evolving on done lanes — it no longer
@@ -143,6 +157,11 @@ class BeliefPropagationDecoder(Decoder):
             make_bp_decode_fn(self.graph, self.per, self.max_iters, dtype)
         )
 
-    def _decode_batch(self, syndromes, seed: int = 0):
-        err, converged, iters, logp = self._decode_fn(jnp.asarray(syndromes))
+    def _decode_batch(self, syndromes, seed: int = 0, per=None):
+        ratio = None
+        if per is not None:
+            from .bp import _as_ratio  # self-import safe at call time
+
+            ratio = _as_ratio(per, self.n, self.dtype)
+        err, converged, iters, logp = self._decode_fn(jnp.asarray(syndromes), ratio)
         return err, converged, iters, {"log_probabs": logp}

@@ -118,9 +118,14 @@ class BeliefPropagationOSDDecoder(Decoder):
         self._bp_fn = jax.jit(make_bp_decode_fn(self.graph, self.per, self.max_iters))
         self._osd0_batch, self._osdw_batch = make_osd_fns(self.graph, self.osd_order)
 
-    def _decode_batch(self, syndromes, seed: int = 0):
+    def _decode_batch(self, syndromes, seed: int = 0, per=None):
         syn = jnp.asarray(syndromes)
-        bp_err, converged, iters, logp = self._bp_fn(syn)
+        ratio = None
+        if per is not None:
+            from .bp import _as_ratio
+
+            ratio = _as_ratio(per, self.n, jnp.float32)
+        bp_err, converged, iters, logp = self._bp_fn(syn, ratio)
 
         if self.osd_order > 0:
             corr = self._osdw_batch(syn, bp_err, logp)

@@ -56,10 +56,13 @@ def make_bpots_decode_fn(
     per_arr = np.asarray(per, dtype=np.float64)
     if per_arr.ndim not in (0, 1) or (per_arr.ndim == 1 and per_arr.shape[0] != n):
         raise ValueError(f"per must be a scalar or a [{n}] vector")
-    pi_val = jnp.asarray(np.log((1.0 - 2.0 * per_arr / 3.0) / (2.0 * per_arr / 3.0)), dtype)
+    default_pi = jnp.asarray(np.log((1.0 - 2.0 * per_arr / 3.0) / (2.0 * per_arr / 3.0)), dtype)
     C = dtype(C)
 
-    def decode(syndromes):
+    def decode(syndromes, pi_val=None):
+        if pi_val is None:
+            pi_val = default_pi
+        pi_val = jnp.asarray(pi_val, dtype)
         syndromes = jnp.asarray(syndromes)
         B = syndromes.shape[0]
         syn_f = syndromes.astype(jnp.float32)
@@ -193,6 +196,12 @@ class BPOTSDecoder(Decoder):
             make_bpots_decode_fn(self.graph, self.per, self.max_iters, self.T, self.C)
         )
 
-    def _decode_batch(self, syndromes, seed: int = 0):
-        err, converged, iters, llrs = self._decode_fn(jnp.asarray(syndromes))
+    def _decode_batch(self, syndromes, seed: int = 0, per=None):
+        pi = None
+        if per is not None:
+            pa = np.asarray(per, dtype=np.float64)
+            if pa.ndim not in (0, 1) or (pa.ndim == 1 and pa.shape[0] != self.n):
+                raise ValueError(f"per must be a scalar or a [{self.n}] vector")
+            pi = jnp.asarray(np.log((1.0 - 2.0 * pa / 3.0) / (2.0 * pa / 3.0)), jnp.float32)
+        err, converged, iters, llrs = self._decode_fn(jnp.asarray(syndromes), pi)
         return err, converged, iters, {"llrs": llrs}

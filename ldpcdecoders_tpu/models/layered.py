@@ -95,7 +95,7 @@ def make_layered_minsum_fn(
     sv = jnp.asarray(slot_valid)
     syndrome_from = make_syndrome_fn(graph)
     per_arr = np.asarray(per, dtype=np.float64)
-    L0 = jnp.asarray(np.log((1.0 - per_arr) / per_arr), dtype)
+    default_L0 = jnp.asarray(np.log((1.0 - per_arr) / per_arr), dtype)
     alpha = dtype(alpha)
     beta = dtype(beta)
     big = dtype(1e30)
@@ -121,7 +121,10 @@ def make_layered_minsum_fn(
         total = total.at[:, cv_l.reshape(-1)].add(delta, unique_indices=True)
         return total, mu_new
 
-    def decode(syndromes):
+    def decode(syndromes, L0=None):
+        if L0 is None:
+            L0 = default_L0
+        L0 = jnp.asarray(L0, dtype)
         syndromes = jnp.asarray(syndromes)
         B = syndromes.shape[0]
         syn_f = syndromes.astype(jnp.float32)
@@ -194,6 +197,12 @@ class LayeredMinSumDecoder(Decoder):
             )
         )
 
-    def _decode_batch(self, syndromes, seed: int = 0):
-        err, converged, iters, llr = self._decode_fn(jnp.asarray(syndromes))
+    def _decode_batch(self, syndromes, seed: int = 0, per=None):
+        L0 = None
+        if per is not None:
+            pa = np.asarray(per, dtype=np.float64)
+            if pa.ndim not in (0, 1) or (pa.ndim == 1 and pa.shape[0] != self.n):
+                raise ValueError(f"per must be a scalar or a [{self.n}] vector")
+            L0 = jnp.asarray(np.log((1.0 - pa) / pa), jnp.float32)
+        err, converged, iters, llr = self._decode_fn(jnp.asarray(syndromes), L0)
         return err, converged, iters, {"llrs": llr}

@@ -57,7 +57,7 @@ def make_minsum_decode_fn(
         raise ValueError(f"per must be a scalar or a [{n}] vector")
     if per_arr.ndim and use_pallas:
         raise ValueError("use_pallas currently requires a scalar per")
-    L0 = jnp.asarray(np.log((1.0 - per_arr) / per_arr), dtype)
+    default_L0 = jnp.asarray(np.log((1.0 - per_arr) / per_arr), dtype)
     alpha = dtype(alpha)
     beta = dtype(beta)
     big = dtype(1e30)
@@ -83,7 +83,7 @@ def make_minsum_decode_fn(
         mag_out = jnp.maximum(alpha * excl_min - beta, dtype(0.0))
         return jnp.where(flip, -mag_out, mag_out)
 
-    def var_update(mu):
+    def var_update(mu, L0):
         """Check-side mu [B, dc, m] -> (nu [B, dv, n], llr [B, n])."""
         B = mu.shape[0]
         Mg = jnp.take(mu.reshape(B, max_dc * m), v2c, axis=1).reshape(B, max_dv, n)
@@ -103,14 +103,18 @@ def make_minsum_decode_fn(
                 interpret=pallas_interpret,
             )
 
-        def var_update(mu):  # noqa: F811
+        def var_update(mu, L0):  # noqa: F811
+            del L0  # the Pallas path bakes the scalar prior
             B = mu.shape[0]
             Mg = jnp.take(mu.reshape(B, max_dc * m), v2c, axis=1).reshape(B, max_dv, n)
             return var_update_pallas(
-                Mg, var_mask, L0=float(L0), interpret=pallas_interpret
+                Mg, var_mask, L0=float(default_L0), interpret=pallas_interpret
             )
 
-    def decode(syndromes):
+    def decode(syndromes, L0=None):
+        if L0 is None:
+            L0 = default_L0
+        L0 = jnp.asarray(L0, dtype)
         syndromes = jnp.asarray(syndromes)
         B = syndromes.shape[0]
         syn_f = syndromes.astype(jnp.float32)
@@ -132,7 +136,7 @@ def make_minsum_decode_fn(
         def body(st):
             nu, err, llrs, done, it, iters = st
             mu = check_update(nu.reshape(B, max_dv * n), syn_flip)
-            nu_n, total = var_update(mu)
+            nu_n, total = var_update(mu, L0)
             errn = (total < 0).astype(jnp.float32)
             active = ~done
             # freeze only the [B, n] outputs; unfrozen [B, E] messages on
@@ -189,6 +193,12 @@ class MinSumDecoder(Decoder):
             )
         )
 
-    def _decode_batch(self, syndromes, seed: int = 0):
-        err, converged, iters, llrs = self._decode_fn(jnp.asarray(syndromes))
+    def _decode_batch(self, syndromes, seed: int = 0, per=None):
+        L0 = None
+        if per is not None:
+            pa = np.asarray(per, dtype=np.float64)
+            if pa.ndim not in (0, 1) or (pa.ndim == 1 and pa.shape[0] != self.n):
+                raise ValueError(f"per must be a scalar or a [{self.n}] vector")
+            L0 = jnp.asarray(np.log((1.0 - pa) / pa), jnp.float32)
+        err, converged, iters, llrs = self._decode_fn(jnp.asarray(syndromes), L0)
         return err, converged, iters, {"llrs": llrs}
