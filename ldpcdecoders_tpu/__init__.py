@@ -37,5 +37,6 @@ from .models import (
 )
 from . import parallel
 from .config import DecoderConfig
+from .cache import enable_compilation_cache
 
 __version__ = "0.1.0"

@@ -89,8 +89,11 @@ def main(argv=None):
 
     a = ap.parse_args(argv)
 
+    from ldpcdecoders_tpu.cache import enable_compilation_cache
     from ldpcdecoders_tpu.harness import FERSweep
     from ldpcdecoders_tpu.utils.profiling import trace
+
+    enable_compilation_cache()
 
     H = _build_code(a.code)
     factory = _decoder_factory(a.decoder, H, a.max_iters, a.osd_order, a.T, a.C)

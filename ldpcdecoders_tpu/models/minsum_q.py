@@ -55,8 +55,11 @@ def make_minsum_q_decode_fn(
     chk_mask = jnp.asarray(chk_mask_t)  # [max_dc, m]
     var_mask = jnp.asarray(var_mask_t)  # [max_dv, n]
     syndrome_from = make_syndrome_fn(graph)
-    L0f = float(np.log((1.0 - per) / per) * scale)
-    L0q = int(np.clip(round(L0f), -127, 127))
+
+    def quantize_prior(p):
+        return int(np.clip(round(float(np.log((1.0 - p) / p) * scale)), -127, 127))
+
+    default_L0q = quantize_prior(per)
 
     def check_update(nu_flat_i8, syn_flip):
         # dtype hygiene: every array materialized at fusion boundaries stays
@@ -81,7 +84,7 @@ def make_minsum_q_decode_fn(
         mag_out = jnp.maximum(excl_min - jnp.int8(beta_q), jnp.int8(0))
         return jnp.where(flip, -mag_out, mag_out)
 
-    def var_update(mu_i8):
+    def var_update(mu_i8, L0q):
         B = mu_i8.shape[0]
         Mg = jnp.take(mu_i8.reshape(B, max_dc * m), v2c, axis=1).reshape(B, max_dv, n)
         Mg = jnp.where(var_mask, Mg, jnp.int8(0))
@@ -89,16 +92,19 @@ def make_minsum_q_decode_fn(
         nu = jnp.clip(total[:, None, :] - Mg.astype(jnp.int32), -127, 127).astype(jnp.int8)
         return nu, total
 
-    def decode(syndromes):
+    def decode(syndromes, L0q=None):
+        if L0q is None:
+            L0q = jnp.int32(default_L0q)
+        L0q = jnp.asarray(L0q, jnp.int32)
         syndromes = jnp.asarray(syndromes)
         B = syndromes.shape[0]
         syn_f = syndromes.astype(jnp.float32)
         syn_flip = syndromes.astype(bool)
 
         state0 = (
-            jnp.full((B, max_dv, n), jnp.int8(np.clip(L0q, -127, 127))),
+            jnp.broadcast_to(L0q.astype(jnp.int8), (B, max_dv, n)),
             jnp.zeros((B, n), jnp.float32),  # err
-            jnp.full((B, n), L0q, jnp.int32),  # total llr (quantized)
+            jnp.broadcast_to(L0q, (B, n)),  # total llr (quantized)
             jnp.zeros((B,), bool),
             jnp.int32(0),
             jnp.zeros((B,), jnp.int32),
@@ -111,7 +117,7 @@ def make_minsum_q_decode_fn(
         def body(st):
             nu, err, llr, done, it, iters = st
             mu = check_update(nu.reshape(B, max_dv * n), syn_flip)
-            nu_n, total = var_update(mu)
+            nu_n, total = var_update(mu, L0q)
             errn = (total < 0).astype(jnp.float32)
             active = ~done
             # freeze only the [B, n] outputs (see minsum.py)
@@ -152,6 +158,13 @@ class QuantizedMinSumDecoder(Decoder):
             )
         )
 
-    def _decode_batch(self, syndromes, seed: int = 0):
-        err, converged, iters, llr = self._decode_fn(jnp.asarray(syndromes))
+    def _decode_batch(self, syndromes, seed: int = 0, per=None):
+        L0q = None
+        if per is not None:
+            if np.ndim(per):
+                raise ValueError("QuantizedMinSumDecoder needs a scalar per")
+            L0q = jnp.int32(
+                int(np.clip(round(float(np.log((1.0 - per) / per) * self.scale)), -127, 127))
+            )
+        err, converged, iters, llr = self._decode_fn(jnp.asarray(syndromes), L0q)
         return err, converged, iters, {"llr_q": llr}
