@@ -31,6 +31,13 @@ def parity_check_matrix(
     Returns:
       ``[n*wc//wr, n]`` uint8 matrix with constant row sums ``wr`` and column
       sums ``wc``.
+
+    Example:
+      >>> H = parity_check_matrix(12, 4, 2, rng=0)
+      >>> H.shape
+      (6, 12)
+      >>> int(H.sum(axis=1)[0]), int(H.sum(axis=0)[0])
+      (4, 2)
     """
     if n % wr != 0:
         raise ValueError(f"n ({n}) must be divisible by wr ({wr})")

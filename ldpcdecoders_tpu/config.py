@@ -19,7 +19,13 @@ _KINDS = ("bp", "bposd", "bitflip", "bpots", "minsum", "minsum_int8", "layered_m
 
 @dataclasses.dataclass(frozen=True)
 class DecoderConfig:
-    """Everything needed to build a decoder, minus the code itself."""
+    """Everything needed to build a decoder, minus the code itself.
+
+    Example:
+      >>> cfg = DecoderConfig(kind="bp", per=0.01, max_iters=50)
+      >>> DecoderConfig.from_json(cfg.to_json()) == cfg
+      True
+    """
 
     kind: str
     per: float = 0.01

@@ -32,7 +32,13 @@ def syndrome_match_rate(H: np.ndarray, guesses: np.ndarray, syndromes: np.ndarra
 
 
 def wilson_interval(failures: int, trials: int, z: float = 1.96) -> tuple[float, float]:
-    """Wilson score interval for a failure-rate estimate."""
+    """Wilson score interval for a failure-rate estimate.
+
+    Example:
+      >>> lo, hi = wilson_interval(5, 100)
+      >>> bool(lo < 0.05 < hi)
+      True
+    """
     if trials == 0:
         return (0.0, 1.0)
     p = failures / trials
