@@ -131,11 +131,10 @@ class BeliefPropagationOSDDecoder(Decoder):
             corr = self._osdw_batch(syn, bp_err, logp)
             return corr.astype(jnp.int8), converged, iters, {"log_probabs": logp}
 
-        # OSD-0: only lanes whose BP output misses the syndrome need work
-        bp_err_np = np.asarray(bp_err)
-        syn_np = np.asarray(syndromes).astype(np.uint8)
-        resid = (bp_err_np.astype(np.int64) @ self.graph.H.T.astype(np.int64)) % 2
-        need = np.flatnonzero((resid != syn_np).any(axis=1))
+        # OSD-0: only lanes whose BP output misses the syndrome need work.
+        # BP's converged flag IS that test (its loop exits a lane exactly
+        # when (H @ err) % 2 == syndrome), so no residual recompute needed.
+        need = np.flatnonzero(~np.asarray(converged))
         if need.size == 0:
             return bp_err, converged, iters, {"log_probabs": logp}
 
