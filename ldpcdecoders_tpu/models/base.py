@@ -16,7 +16,6 @@ flags as a quirk, not a feature).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
 
 import numpy as np
 

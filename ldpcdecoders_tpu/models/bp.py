@@ -12,8 +12,9 @@ TPU-native re-design of the reference's probability-ratio-domain BP
   * the batch is a leading axis decoded in lock-step by one
     ``lax.while_loop``; converged lanes are frozen (masked no-ops), which
     reproduces the reference's per-syndrome early-stop results exactly;
-  * the per-iteration syndrome check ``(H @ err) % 2`` is a dense MXU
-    matmul (exact: LDPC row sums are tiny integers).
+  * the per-iteration syndrome check ``(H @ err) % 2`` is exact small-
+    integer arithmetic — an MXU matmul for small dense codes, an O(edges)
+    adjacency gather at scale (ops/syndrome.py hybrid dispatch).
 
 Numerics match SURVEY.md §2.2: delta = (p0 - p1) products with the syndrome
 sign folded into the check-node prefix, ``x -> (1-x)/(1+x)`` ratio maps,
@@ -21,8 +22,6 @@ sign folded into the check-node prefix, ``x -> (1-x)/(1+x)`` ratio maps,
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -160,8 +159,6 @@ class BeliefPropagationDecoder(Decoder):
     def _decode_batch(self, syndromes, seed: int = 0, per=None):
         ratio = None
         if per is not None:
-            from .bp import _as_ratio  # self-import safe at call time
-
             ratio = _as_ratio(per, self.n, self.dtype)
         err, converged, iters, logp = self._decode_fn(jnp.asarray(syndromes), ratio)
         return err, converged, iters, {"log_probabs": logp}

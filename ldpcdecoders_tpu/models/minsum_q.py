@@ -10,7 +10,9 @@ decoder stores messages as int8 fixed-point LLRs (configurable
 
 Arithmetic: min/sign/compare run natively on int8/int32 VPU lanes; the
 per-variable totals accumulate in int32 (degree * 127 never overflows).
-The syndrome check is the O(edges) gather-based form (no dense H).
+The syndrome check uses the hybrid exact-integer dispatch of
+ops/syndrome.py (MXU matmul for small dense codes, O(edges) gather at
+scale).
 """
 
 from __future__ import annotations

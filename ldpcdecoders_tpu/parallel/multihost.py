@@ -11,8 +11,7 @@ from __future__ import annotations
 import numpy as np
 
 import jax
-import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 __all__ = ["initialize_multihost", "global_mesh", "allreduce_counts"]
 
