@@ -34,7 +34,8 @@ class DecoderConfig:
     osd_order: int = 0
     T: int = 9
     C: float = 2.0
-    alpha: float = 1.0
+    # None = each decoder's own default (1.0 flooding, 0.8 layered)
+    alpha: float | None = None
     beta: float = 0.0
     scale: float = 4.0
     beta_q: int = 1
@@ -62,16 +63,18 @@ class DecoderConfig:
         if k == "minsum":
             return lt.MinSumDecoder(
                 H, self.per, self.max_iters,
-                alpha=self.alpha, beta=self.beta, use_pallas=self.use_pallas,
+                alpha=1.0 if self.alpha is None else self.alpha,
+                beta=self.beta, use_pallas=self.use_pallas,
             )
         if k == "minsum_int8":
             return lt.QuantizedMinSumDecoder(
                 H, self.per, self.max_iters, scale=self.scale, beta_q=self.beta_q
             )
         if k == "layered_minsum":
-            alpha = self.alpha if self.alpha != 1.0 else 0.8
             return lt.LayeredMinSumDecoder(
-                H, self.per, self.max_iters, alpha=alpha, beta=self.beta
+                H, self.per, self.max_iters,
+                alpha=0.8 if self.alpha is None else self.alpha,
+                beta=self.beta,
             )
         raise AssertionError(k)
 

@@ -32,6 +32,7 @@ class SweepPoint:
 
     per: float
     trials: int = 0
+    steps: int = 0  # batches decoded; indexes this point's RNG streams
     exact_failures: int = 0  # estimate != injected error
     syndrome_mismatches: int = 0  # estimate does not reproduce syndrome
     non_converged: int = 0
@@ -156,7 +157,10 @@ class FERSweep:
                             # pass per explicitly from the start so every
                             # noise point shares one traced program
                             per_kw = {"per": per}
-                step = pt.trials // self.batch
+                # each batch consumes its own counted stream; tracking the
+                # step explicitly (not trials // batch) keeps resumed runs
+                # on fresh streams even after a partial final batch
+                step = pt.steps
                 rng = np.random.default_rng(
                     (self.seed, int(per * 1e9) & 0x7FFFFFFF, step)
                 )
@@ -184,6 +188,7 @@ class FERSweep:
                 synhat = syndromes_of(self.H, guesses)
                 smatch = (synhat == syns).all(axis=1)
                 pt.trials += b
+                pt.steps += 1
                 pt.exact_failures += int(b - exact.sum())
                 pt.syndrome_mismatches += int(b - smatch.sum())
                 pt.non_converged += int(b - conv.sum())

@@ -37,10 +37,9 @@ __all__ = ["BeliefPropagationDecoder", "make_bp_decode_fn"]
 
 def _as_ratio(per, n, dtype):
     """Validate a scalar-or-[n] prior and convert to probability ratio."""
-    per_arr = np.asarray(per, dtype=np.float64)
-    if per_arr.ndim not in (0, 1) or (per_arr.ndim == 1 and per_arr.shape[0] != n):
-        raise ValueError(f"per must be a scalar or a [{n}] vector")
-    return jnp.asarray(per_arr / (1.0 - per_arr), dtype)
+    from .priors import per_to_ratio
+
+    return jnp.asarray(per_to_ratio(per, n), dtype)
 
 
 def make_bp_decode_fn(graph: TannerGraph, per: float, max_iters: int, dtype=jnp.float32):

@@ -33,16 +33,38 @@ from ..codes.graph import TannerGraph
 from ..ops.gf2 import gf2_osd0, gf2_osdw, pack_bits
 from .base import Decoder
 from .bp import make_bp_decode_fn
+from .priors import next_pow2
 
 __all__ = ["BeliefPropagationOSDDecoder"]
 
 
-def _bucket(size: int) -> int:
-    """Round a sub-batch size up to a power of two (bounds recompiles)."""
-    b = 1
-    while b < size:
-        b *= 2
-    return b
+def _gf2_rank(H: np.ndarray) -> int:
+    """Rank of a 0/1 matrix over GF(2) (bit-packed elimination)."""
+    H = np.asarray(H, dtype=np.uint8)
+    m, n = H.shape
+    W = (n + 63) // 64
+    rows = np.zeros((m, W), np.uint64)
+    pad = W * 64 - n
+    bits = np.pad(H, [(0, 0), (0, pad)]).reshape(m, W, 64).astype(np.uint64)
+    rows = (bits << np.arange(64, dtype=np.uint64)).sum(axis=2, dtype=np.uint64)
+    rank = 0
+    for j in range(n):
+        w, b = divmod(j, 64)
+        col = (rows[:, w] >> np.uint64(b)) & np.uint64(1)
+        avail = np.flatnonzero(col[rank:]) + rank
+        if avail.size == 0:
+            continue
+        k = avail[0]
+        rows[[rank, k]] = rows[[k, rank]]
+        elim = np.flatnonzero(
+            ((rows[:, w] >> np.uint64(b)) & np.uint64(1)).astype(bool)
+        )
+        elim = elim[elim != rank]
+        rows[elim] ^= rows[rank]
+        rank += 1
+        if rank == m:
+            break
+    return rank
 
 
 def make_osd_fns(graph: TannerGraph, osd_order: int):
@@ -104,16 +126,19 @@ class BeliefPropagationOSDDecoder(Decoder):
         self.max_iters = int(max_iters)
         if osd_order < 0:
             raise ValueError("osd_order must be >= 0")
-        max_order = self.n - np.linalg.matrix_rank(self.graph.require_H().astype(np.float64))
-        if osd_order > max_order:
-            # reference warns and clamps (belief_propagation_osd.jl:174-177)
-            import warnings
+        if osd_order > 0:  # the rank computation is only needed for the clamp
+            max_order = self.n - _gf2_rank(self.graph.require_H())
+            if osd_order > max_order:
+                # reference warns and clamps (belief_propagation_osd.jl:174-177)
+                import warnings
 
-            warnings.warn(
-                f"osd_order {osd_order} exceeds information-set size "
-                f"{max_order}; clamping."
-            )
-            osd_order = int(max_order)
+                warnings.warn(
+                    f"osd_order {osd_order} exceeds information-set size "
+                    f"{max_order}; clamping."
+                )
+                osd_order = int(max_order)
+        else:
+            self.graph.require_H()  # OSD always needs dense rows
         self.osd_order = int(osd_order)
         self._bp_fn = jax.jit(make_bp_decode_fn(self.graph, self.per, self.max_iters))
         self._osd0_batch, self._osdw_batch = make_osd_fns(self.graph, self.osd_order)
@@ -138,7 +163,7 @@ class BeliefPropagationOSDDecoder(Decoder):
         if need.size == 0:
             return bp_err, converged, iters, {"log_probabs": logp}
 
-        bucket = _bucket(need.size)
+        bucket = next_pow2(need.size)
         idx = np.concatenate([need, np.repeat(need[:1], bucket - need.size)])
         corr_sub = self._osd0_batch(syn[idx], bp_err[idx], logp[idx])
         out = np.asarray(bp_err).copy()

@@ -31,6 +31,7 @@ from ..codes.graph import TannerGraph
 from ..ops.exclusive import exclusive_prods
 from ..ops.syndrome import make_syndrome_fn
 from .base import Decoder
+from .priors import per_to_depolarizing_llr
 
 __all__ = ["BPOTSDecoder", "make_bpots_decode_fn"]
 
@@ -53,10 +54,7 @@ def make_bpots_decode_fn(
     var_mask = jnp.asarray(var_mask_t)  # [max_dv, n]
     syndrome_from = make_syndrome_fn(graph)
     # depolarizing-channel LLR prior (bpots_decoder.jl:231); scalar or [n]
-    per_arr = np.asarray(per, dtype=np.float64)
-    if per_arr.ndim not in (0, 1) or (per_arr.ndim == 1 and per_arr.shape[0] != n):
-        raise ValueError(f"per must be a scalar or a [{n}] vector")
-    default_pi = jnp.asarray(np.log((1.0 - 2.0 * per_arr / 3.0) / (2.0 * per_arr / 3.0)), dtype)
+    default_pi = jnp.asarray(per_to_depolarizing_llr(per, n), dtype)
     C = dtype(C)
 
     def decode(syndromes, pi_val=None):
@@ -199,9 +197,6 @@ class BPOTSDecoder(Decoder):
     def _decode_batch(self, syndromes, seed: int = 0, per=None):
         pi = None
         if per is not None:
-            pa = np.asarray(per, dtype=np.float64)
-            if pa.ndim not in (0, 1) or (pa.ndim == 1 and pa.shape[0] != self.n):
-                raise ValueError(f"per must be a scalar or a [{self.n}] vector")
-            pi = jnp.asarray(np.log((1.0 - 2.0 * pa / 3.0) / (2.0 * pa / 3.0)), jnp.float32)
+            pi = jnp.asarray(per_to_depolarizing_llr(per, self.n), jnp.float32)
         err, converged, iters, llrs = self._decode_fn(jnp.asarray(syndromes), pi)
         return err, converged, iters, {"llrs": llrs}

@@ -14,15 +14,9 @@ from __future__ import annotations
 import numpy as np
 
 from .base import Decoder
+from .priors import next_pow2 as _next_pow2
 
 __all__ = ["BucketedDecoder"]
-
-
-def _next_pow2(x: int) -> int:
-    b = 1
-    while b < x:
-        b *= 2
-    return b
 
 
 class BucketedDecoder(Decoder):

@@ -29,6 +29,7 @@ import numpy as np
 from ..codes.graph import TannerGraph
 from ..ops.syndrome import make_syndrome_fn
 from .base import Decoder
+from .priors import per_to_llr
 
 __all__ = ["LayeredMinSumDecoder", "make_layered_minsum_fn", "build_layers"]
 
@@ -94,8 +95,7 @@ def make_layered_minsum_fn(
     sg = jnp.asarray(syn_gather_l)
     sv = jnp.asarray(slot_valid)
     syndrome_from = make_syndrome_fn(graph)
-    per_arr = np.asarray(per, dtype=np.float64)
-    default_L0 = jnp.asarray(np.log((1.0 - per_arr) / per_arr), dtype)
+    default_L0 = jnp.asarray(per_to_llr(per, n), dtype)
     alpha = dtype(alpha)
     beta = dtype(beta)
     big = dtype(1e30)
@@ -118,7 +118,10 @@ def make_layered_minsum_fn(
         mu_new = jnp.where(cm_l, jnp.where(flip, -mag_out, mag_out), dtype(0.0))
         # conflict-free layer -> unique var indices within the layer
         delta = (mu_new - mu_l).reshape(B, -1)
-        total = total.at[:, cv_l.reshape(-1)].add(delta, unique_indices=True)
+        # padded slots all point at variable 0 with delta exactly 0, so
+        # the index list can contain duplicates; unique_indices=True would
+        # be undefined behavior in that case — let XLA handle duplicates
+        total = total.at[:, cv_l.reshape(-1)].add(delta)
         return total, mu_new
 
     def decode(syndromes, L0=None):
@@ -200,9 +203,6 @@ class LayeredMinSumDecoder(Decoder):
     def _decode_batch(self, syndromes, seed: int = 0, per=None):
         L0 = None
         if per is not None:
-            pa = np.asarray(per, dtype=np.float64)
-            if pa.ndim not in (0, 1) or (pa.ndim == 1 and pa.shape[0] != self.n):
-                raise ValueError(f"per must be a scalar or a [{self.n}] vector")
-            L0 = jnp.asarray(np.log((1.0 - pa) / pa), jnp.float32)
+            L0 = jnp.asarray(per_to_llr(per, self.n), jnp.float32)
         err, converged, iters, llr = self._decode_fn(jnp.asarray(syndromes), L0)
         return err, converged, iters, {"llrs": llr}

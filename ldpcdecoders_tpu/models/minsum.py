@@ -22,6 +22,7 @@ import numpy as np
 from ..codes.graph import TannerGraph
 from ..ops.syndrome import make_syndrome_fn
 from .base import Decoder
+from .priors import per_to_llr
 
 __all__ = ["MinSumDecoder", "make_minsum_decode_fn"]
 
@@ -52,12 +53,9 @@ def make_minsum_decode_fn(
     chk_mask = jnp.asarray(chk_mask_t)  # [max_dc, m]
     var_mask = jnp.asarray(var_mask_t)  # [max_dv, n]
     syndrome_from = make_syndrome_fn(graph)
-    per_arr = np.asarray(per, dtype=np.float64)
-    if per_arr.ndim not in (0, 1) or (per_arr.ndim == 1 and per_arr.shape[0] != n):
-        raise ValueError(f"per must be a scalar or a [{n}] vector")
-    if per_arr.ndim and use_pallas:
+    if np.ndim(per) and use_pallas:
         raise ValueError("use_pallas currently requires a scalar per")
-    default_L0 = jnp.asarray(np.log((1.0 - per_arr) / per_arr), dtype)
+    default_L0 = jnp.asarray(per_to_llr(per, n), dtype)
     alpha = dtype(alpha)
     beta = dtype(beta)
     big = dtype(1e30)
@@ -112,6 +110,10 @@ def make_minsum_decode_fn(
             )
 
     def decode(syndromes, L0=None):
+        if L0 is not None and use_pallas:
+            # the Pallas var kernel bakes the scalar prior; silently
+            # decoding with the wrong prior would corrupt FER sweeps
+            raise ValueError("use_pallas decoders do not support prior overrides")
         if L0 is None:
             L0 = default_L0
         L0 = jnp.asarray(L0, dtype)
@@ -182,6 +184,7 @@ class MinSumDecoder(Decoder):
         self.max_iters = int(max_iters)
         self.alpha = float(alpha)
         self.beta = float(beta)
+        self._use_pallas = bool(use_pallas)
         self._decode_fn = jax.jit(
             make_minsum_decode_fn(
                 self.graph,
@@ -196,9 +199,11 @@ class MinSumDecoder(Decoder):
     def _decode_batch(self, syndromes, seed: int = 0, per=None):
         L0 = None
         if per is not None:
-            pa = np.asarray(per, dtype=np.float64)
-            if pa.ndim not in (0, 1) or (pa.ndim == 1 and pa.shape[0] != self.n):
-                raise ValueError(f"per must be a scalar or a [{self.n}] vector")
-            L0 = jnp.asarray(np.log((1.0 - pa) / pa), jnp.float32)
+            if self._use_pallas:
+                raise ValueError(
+                    "use_pallas decoders bake the channel prior; per-call "
+                    "overrides are not supported"
+                )
+            L0 = jnp.asarray(per_to_llr(per, self.n), jnp.float32)
         err, converged, iters, llrs = self._decode_fn(jnp.asarray(syndromes), L0)
         return err, converged, iters, {"llrs": llrs}

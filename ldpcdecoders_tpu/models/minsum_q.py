@@ -24,6 +24,7 @@ import numpy as np
 from ..codes.graph import TannerGraph
 from ..ops.syndrome import make_syndrome_fn
 from .base import Decoder
+from .priors import per_to_quantized_llr
 
 __all__ = ["QuantizedMinSumDecoder", "make_minsum_q_decode_fn"]
 
@@ -58,10 +59,7 @@ def make_minsum_q_decode_fn(
     var_mask = jnp.asarray(var_mask_t)  # [max_dv, n]
     syndrome_from = make_syndrome_fn(graph)
 
-    def quantize_prior(p):
-        return int(np.clip(round(float(np.log((1.0 - p) / p) * scale)), -127, 127))
-
-    default_L0q = quantize_prior(per)
+    default_L0q = per_to_quantized_llr(per, scale)
 
     def check_update(nu_flat_i8, syn_flip):
         # dtype hygiene: every array materialized at fusion boundaries stays
@@ -163,10 +161,6 @@ class QuantizedMinSumDecoder(Decoder):
     def _decode_batch(self, syndromes, seed: int = 0, per=None):
         L0q = None
         if per is not None:
-            if np.ndim(per):
-                raise ValueError("QuantizedMinSumDecoder needs a scalar per")
-            L0q = jnp.int32(
-                int(np.clip(round(float(np.log((1.0 - per) / per) * self.scale)), -127, 127))
-            )
+            L0q = jnp.int32(per_to_quantized_llr(per, self.scale))
         err, converged, iters, llr = self._decode_fn(jnp.asarray(syndromes), L0q)
         return err, converged, iters, {"llr_q": llr}

@@ -23,15 +23,20 @@ def initialize_multihost(coordinator: str | None = None, num_processes: int | No
     launcher (GKE/ray/mpirun) the env provides the coordinator address and
     ranks, so all arguments are optional.
     """
-    if jax.process_count() > 1:
-        return  # already initialized by the launcher
     if coordinator is None and num_processes is None:
-        return  # single-host
-    jax.distributed.initialize(
-        coordinator_address=coordinator,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+        return  # single-host / launcher-managed: nothing to do
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:
+        # already initialized (by a launcher or an earlier call) is fine;
+        # anything else — including "must be called before any JAX calls" —
+        # is a real configuration error the caller needs to see
+        if "already" not in str(e).lower():
+            raise
 
 
 def global_mesh(axis_name: str = "data") -> Mesh:

@@ -107,6 +107,11 @@ def make_check_sharded_minsum_fn(
     model axis per iteration.  The batch axis is simultaneously sharded
     over 'data'.  Returns a jitted ``syndromes [B, m] -> (err [B, n] int8,
     converged [B] bool, iters [B])``.
+
+    Current limitation: the per-shard syndrome check uses a dense
+    ``[n, m/D]`` slice of H, so the graph must carry a dense H
+    (``from_pcm``); a gather-based sharded check is future work
+    (docs/ROADMAP.md).
     """
     D = mesh.shape[model_axis]
     m, n = graph.m, graph.n
@@ -118,7 +123,7 @@ def make_check_sharded_minsum_fn(
     chk_mask = np.zeros((m_pad, max_dc), bool)
     chk_mask[:m] = graph.chk_mask
     Ht_pad = np.zeros((n, m_pad), np.float32)
-    Ht_pad[:, :m] = graph.H.T
+    Ht_pad[:, :m] = graph.require_H().T
     L0 = dtype(np.log((1.0 - per) / per))
     alpha = dtype(alpha)
     big = dtype(1e30)
