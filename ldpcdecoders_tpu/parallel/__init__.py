@@ -4,6 +4,7 @@ from .spmd import (
     sharded_batch_decode,
     decode_with_stats,
     make_check_sharded_minsum_fn,
+    make_check_sharded_sumproduct_fn,
 )
 
 __all__ = [
@@ -13,6 +14,7 @@ __all__ = [
     "sharded_batch_decode",
     "decode_with_stats",
     "make_check_sharded_minsum_fn",
+    "make_check_sharded_sumproduct_fn",
     "initialize_multihost",
     "global_mesh",
     "allreduce_counts",

@@ -31,6 +31,7 @@ __all__ = [
     "sharded_batch_decode",
     "decode_with_stats",
     "make_check_sharded_minsum_fn",
+    "make_check_sharded_sumproduct_fn",
 ]
 
 
@@ -89,30 +90,50 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def make_check_sharded_minsum_fn(
-    graph: TannerGraph,
-    per: float,
-    max_iters: int,
-    mesh: Mesh,
-    *,
-    data_axis: str = "data",
-    model_axis: str = "model",
-    alpha: float = 1.0,
-    dtype=jnp.float32,
+def _minsum_rule(alpha, dtype):
+    big = dtype(1e30)
+
+    def rule(nu, cm_loc, syn_sign_loc):
+        mag = jnp.where(cm_loc, jnp.abs(nu), big)
+        neg = jnp.where(cm_loc, nu < 0, False)
+        min1 = jnp.min(mag, axis=-1, keepdims=True)
+        amin = jnp.argmin(mag, axis=-1)
+        oh = jax.nn.one_hot(amin, mag.shape[-1], dtype=bool)
+        min2 = jnp.min(jnp.where(oh, big, mag), axis=-1, keepdims=True)
+        excl_min = jnp.where(oh, min2, min1)
+        par = jnp.sum(neg, axis=-1, keepdims=True).astype(jnp.int32)
+        excl_par = (par - neg.astype(jnp.int32)) & 1
+        sign = jnp.where(excl_par == 1, -1.0, 1.0).astype(dtype)
+        return syn_sign_loc[:, :, None] * sign * jnp.maximum(dtype(alpha) * excl_min, 0.0)
+
+    return rule
+
+
+def _sumproduct_rule(dtype):
+    """Exact sum-product (tanh rule) in the LLR domain: cross-shard
+    exclusive sums stay psum-compatible while the products remain local."""
+    MAX_TANH = dtype(0.99999)
+    MAX_MSG = dtype(100.0)
+
+    def rule(nu, cm_loc, syn_sign_loc):
+        t = jnp.clip(jnp.tanh(dtype(0.5) * nu), -MAX_TANH, MAX_TANH)
+        t = jnp.where(cm_loc, t, dtype(1.0))
+        total = jnp.prod(t, axis=-1, keepdims=True)
+        # exclusive product via division is safe here: |t| is clamped
+        # away from 0 only when nu != 0; guard the nu == 0 lanes
+        safe_t = jnp.where(jnp.abs(t) < dtype(1e-12), dtype(1e-12), t)
+        excl = total / safe_t
+        excl = jnp.clip(excl, -MAX_TANH, MAX_TANH)
+        msg = dtype(2.0) * jnp.arctanh(excl)
+        msg = jnp.clip(msg, -MAX_MSG, MAX_MSG)
+        return syn_sign_loc[:, :, None] * msg
+
+    return rule
+
+
+def _make_check_sharded_fn(
+    graph, per, max_iters, mesh, rule, *, data_axis, model_axis, dtype
 ):
-    """Min-sum BP with the *check* axis sharded over the 'model' mesh axis.
-
-    Each model shard owns ``m/D`` checks and their check-to-variable
-    messages; per-variable totals are formed with one ``psum`` over the
-    model axis per iteration.  The batch axis is simultaneously sharded
-    over 'data'.  Returns a jitted ``syndromes [B, m] -> (err [B, n] int8,
-    converged [B] bool, iters [B])``.
-
-    Current limitation: the per-shard syndrome check uses a dense
-    ``[n, m/D]`` slice of H, so the graph must carry a dense H
-    (``from_pcm``); a gather-based sharded check is future work
-    (docs/ROADMAP.md).
-    """
     D = mesh.shape[model_axis]
     m, n = graph.m, graph.n
     max_dc, max_dv = graph.max_dc, graph.max_dv
@@ -125,25 +146,13 @@ def make_check_sharded_minsum_fn(
     Ht_pad = np.zeros((n, m_pad), np.float32)
     Ht_pad[:, :m] = graph.require_H().T
     L0 = dtype(np.log((1.0 - per) / per))
-    alpha = dtype(alpha)
-    big = dtype(1e30)
 
     def local_iter(mu, total, syn_sign_loc, cv_loc, cm_loc):
         """One BP iteration on this shard's checks; returns new local mu."""
         # nu_{j->i} = total_j - mu_{i->j}, gathered for local checks
         Tg = jnp.take(total, cv_loc, axis=1)  # [B, m_loc, dc]
         nu = Tg - mu
-        mag = jnp.where(cm_loc, jnp.abs(nu), big)
-        neg = jnp.where(cm_loc, nu < 0, False)
-        min1 = jnp.min(mag, axis=-1, keepdims=True)
-        amin = jnp.argmin(mag, axis=-1)
-        oh = jax.nn.one_hot(amin, mag.shape[-1], dtype=bool)
-        min2 = jnp.min(jnp.where(oh, big, mag), axis=-1, keepdims=True)
-        excl_min = jnp.where(oh, min2, min1)
-        par = jnp.sum(neg, axis=-1, keepdims=True).astype(jnp.int32)
-        excl_par = (par - neg.astype(jnp.int32)) & 1
-        sign = jnp.where(excl_par == 1, -1.0, 1.0).astype(dtype)
-        return syn_sign_loc[:, :, None] * sign * jnp.maximum(alpha * excl_min, 0.0)
+        return rule(nu, cm_loc, syn_sign_loc)
 
     def spmd_body(syn, cv_loc, cm_loc, ht_loc):
         """Runs per-shard: syn [B_loc, m_loc]; constants are local slices."""
@@ -228,3 +237,57 @@ def make_check_sharded_minsum_fn(
         return mapped(syn_pad, cv_c, cm_c, ht_c)
 
     return decode
+
+
+def make_check_sharded_minsum_fn(
+    graph: TannerGraph,
+    per: float,
+    max_iters: int,
+    mesh: Mesh,
+    *,
+    data_axis: str = "data",
+    model_axis: str = "model",
+    alpha: float = 1.0,
+    dtype=jnp.float32,
+):
+    """Min-sum BP with the *check* axis sharded over the 'model' mesh axis.
+
+    Each model shard owns ``m/D`` checks and their check-to-variable
+    messages; per-variable totals are formed with one ``psum`` over the
+    model axis per iteration.  The batch axis is simultaneously sharded
+    over 'data'.  Returns a jitted ``syndromes [B, m] -> (err [B, n] int8,
+    converged [B] bool, iters [B])``.
+
+    Current limitation: the per-shard syndrome check uses a dense
+    ``[n, m/D]`` slice of H, so the graph must carry a dense H
+    (``from_pcm``); a gather-based sharded check is future work
+    (docs/ROADMAP.md).
+    """
+    return _make_check_sharded_fn(
+        graph, per, max_iters, mesh, _minsum_rule(alpha, dtype),
+        data_axis=data_axis, model_axis=model_axis, dtype=dtype,
+    )
+
+
+def make_check_sharded_sumproduct_fn(
+    graph: TannerGraph,
+    per: float,
+    max_iters: int,
+    mesh: Mesh,
+    *,
+    data_axis: str = "data",
+    model_axis: str = "model",
+    dtype=jnp.float32,
+):
+    """Exact sum-product BP (LLR/tanh rule) with the check axis sharded.
+
+    The flagship algorithm's tensor-parallel form: identical update
+    structure to :func:`make_check_sharded_minsum_fn` but with the
+    clamped tanh-product check rule, so FER behavior matches LLR-domain
+    sum-product rather than the min-sum approximation.  Same dense-H
+    limitation applies.
+    """
+    return _make_check_sharded_fn(
+        graph, per, max_iters, mesh, _sumproduct_rule(dtype),
+        data_axis=data_axis, model_axis=model_axis, dtype=dtype,
+    )
