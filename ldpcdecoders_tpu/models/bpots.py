@@ -35,8 +35,7 @@ from .priors import per_to_depolarizing_llr
 
 __all__ = ["BPOTSDecoder", "make_bpots_decode_fn"]
 
-_MAX_TANH = 0.99999
-_MAX_MSG = 100.0
+from ..ops.clamps import TANH_CLAMP as _MAX_TANH, MSG_CLAMP as _MAX_MSG
 
 
 def make_bpots_decode_fn(

@@ -25,6 +25,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..codes.graph import TannerGraph
+from ..ops.clamps import MSG_CLAMP, TANH_CLAMP
+from ..ops.exclusive import exclusive_prods
 from .mesh import batch_sharding
 
 __all__ = [
@@ -112,18 +114,16 @@ def _minsum_rule(alpha, dtype):
 def _sumproduct_rule(dtype):
     """Exact sum-product (tanh rule) in the LLR domain: cross-shard
     exclusive sums stay psum-compatible while the products remain local."""
-    MAX_TANH = dtype(0.99999)
-    MAX_MSG = dtype(100.0)
+    MAX_TANH = dtype(TANH_CLAMP)
+    MAX_MSG = dtype(MSG_CLAMP)
 
     def rule(nu, cm_loc, syn_sign_loc):
         t = jnp.clip(jnp.tanh(dtype(0.5) * nu), -MAX_TANH, MAX_TANH)
         t = jnp.where(cm_loc, t, dtype(1.0))
-        total = jnp.prod(t, axis=-1, keepdims=True)
-        # exclusive product via division is safe here: |t| is clamped
-        # away from 0 only when nu != 0; guard the nu == 0 lanes
-        safe_t = jnp.where(jnp.abs(t) < dtype(1e-12), dtype(1e-12), t)
-        excl = total / safe_t
-        excl = jnp.clip(excl, -MAX_TANH, MAX_TANH)
+        # exact leave-one-out product (tanh can be exactly 0 at nu == 0,
+        # so division by the own factor would lose the sign there)
+        fwd, bwd = exclusive_prods(t, axis=-1)
+        excl = jnp.clip(fwd * bwd, -MAX_TANH, MAX_TANH)
         msg = dtype(2.0) * jnp.arctanh(excl)
         msg = jnp.clip(msg, -MAX_MSG, MAX_MSG)
         return syn_sign_loc[:, :, None] * msg
@@ -229,10 +229,16 @@ def _make_check_sharded_fn(
     cm_c = jnp.asarray(chk_mask)
     ht_c = jnp.asarray(Ht_pad)
 
+    d_data = mesh.shape[data_axis]
+
     @jax.jit
     def decode(syndromes):
         syndromes = jnp.asarray(syndromes)
         B = syndromes.shape[0]
+        if B % d_data != 0:
+            raise ValueError(
+                f"batch {B} must divide the '{data_axis}' mesh size {d_data}"
+            )
         syn_pad = jnp.zeros((B, m_pad), syndromes.dtype).at[:, :m].set(syndromes)
         return mapped(syn_pad, cv_c, cm_c, ht_c)
 
