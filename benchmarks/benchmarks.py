@@ -25,6 +25,7 @@ def run(batch: int = 1024, profile_dir: str | None = None):
     sys.path.insert(0, ".")
     import ldpcdecoders_tpu as lt
 
+    lt.enable_compilation_cache()
     H = lt.parity_check_matrix(1000, 10, 9, rng=42)
     per, max_iters = 0.01, 100
     rng = np.random.default_rng(0)

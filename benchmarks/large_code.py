@@ -24,6 +24,8 @@ def run(n=65536, wr=8, wc=4, batch=128, iters=20):
 
     sys.path.insert(0, ".")
     import ldpcdecoders_tpu as lt
+
+    lt.enable_compilation_cache()
     from ldpcdecoders_tpu.models.minsum import make_minsum_decode_fn
     from ldpcdecoders_tpu.models.minsum_q import make_minsum_q_decode_fn
 
