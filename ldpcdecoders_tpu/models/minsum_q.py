@@ -71,18 +71,29 @@ def make_minsum_q_decode_fn(
         mag = jnp.where(chk_mask, jnp.abs(Ng), jnp.int8(127))
         neg = jnp.where(chk_mask, Ng < 0, False)
 
-        min1 = jnp.min(mag, axis=1, keepdims=True)
-        amin = jnp.argmin(mag, axis=1)
-        oh = jax.nn.one_hot(amin, max_dc, dtype=bool, axis=1)
-        min2 = jnp.min(jnp.where(oh, jnp.int8(127), mag), axis=1, keepdims=True)
-        excl_min = jnp.where(oh, min2, min1)
+        # single unrolled two-min + parity sweep (see minsum.py check_update)
+        min1 = mag[:, 0:1, :]
+        idx1 = jnp.zeros((B, 1, m), jnp.int32)
+        min2 = jnp.full_like(min1, jnp.int8(127))
+        parity = neg[:, 0:1, :]
+        for k in range(1, max_dc):
+            v = mag[:, k : k + 1, :]
+            smaller = v < min1
+            min2 = jnp.where(smaller, min1, jnp.minimum(min2, v))
+            idx1 = jnp.where(smaller, k, idx1)
+            min1 = jnp.where(smaller, v, min1)
+            parity = jnp.logical_xor(parity, neg[:, k : k + 1, :])
 
-        par_odd = (jnp.sum(neg, axis=1, keepdims=True, dtype=jnp.int32) & 1) == 1
-        excl_neg = jnp.logical_xor(par_odd, neg)
-        flip = jnp.logical_xor(excl_neg, syn_flip[:, None, :])
-
-        mag_out = jnp.maximum(excl_min - jnp.int8(beta_q), jnp.int8(0))
-        return jnp.where(flip, -mag_out, mag_out)
+        syn = syn_flip[:, None, :]
+        outs = []
+        for k in range(max_dc):
+            excl = jnp.where(idx1 == k, min2, min1)
+            flip = jnp.logical_xor(
+                jnp.logical_xor(parity, neg[:, k : k + 1, :]), syn
+            )
+            mag_out = jnp.maximum(excl - jnp.int8(beta_q), jnp.int8(0))
+            outs.append(jnp.where(flip, -mag_out, mag_out))
+        return jnp.concatenate(outs, axis=1)
 
     def var_update(mu_i8, L0q):
         B = mu_i8.shape[0]
