@@ -105,17 +105,32 @@ def make_layered_minsum_fn(
         B = total.shape[0]
         Tg = jnp.take(total, cv_l.reshape(-1), axis=1).reshape(B, *cv_l.shape)
         nu = Tg - mu_l
-        mag = jnp.where(cm_l, jnp.abs(nu), big)
-        neg = jnp.where(cm_l, nu < 0, False)
-        min1 = jnp.min(mag, axis=-1, keepdims=True)
-        amin = jnp.argmin(mag, axis=-1)
-        oh = jax.nn.one_hot(amin, mag.shape[-1], dtype=bool)
-        min2 = jnp.min(jnp.where(oh, big, mag), axis=-1, keepdims=True)
-        excl = jnp.where(oh, min2, min1)
-        par_odd = (jnp.sum(neg, axis=-1, keepdims=True, dtype=jnp.int32) & 1) == 1
-        flip = jnp.logical_xor(jnp.logical_xor(par_odd, neg), syn_flip_l[:, :, None])
-        mag_out = jnp.maximum(alpha * excl - beta, dtype(0.0))
-        mu_new = jnp.where(cm_l, jnp.where(flip, -mag_out, mag_out), dtype(0.0))
+        # single unrolled two-min + parity sweep (see models/minsum.py)
+        dc = nu.shape[-1]
+        masked = jnp.where(cm_l, nu, big)
+        mag = jnp.abs(masked)
+        neg = masked < dtype(0.0)
+        min1 = mag[..., 0:1]
+        idx1 = jnp.zeros(min1.shape, jnp.int32)
+        min2 = jnp.full_like(min1, big)
+        parity = neg[..., 0:1]
+        for k in range(1, dc):
+            v = mag[..., k : k + 1]
+            smaller = v < min1
+            min2 = jnp.where(smaller, min1, jnp.minimum(min2, v))
+            idx1 = jnp.where(smaller, k, idx1)
+            min1 = jnp.where(smaller, v, min1)
+            parity = jnp.logical_xor(parity, neg[..., k : k + 1])
+        outs = []
+        for k in range(dc):
+            excl = jnp.where(idx1 == k, min2, min1)
+            flip = jnp.logical_xor(
+                jnp.logical_xor(parity, neg[..., k : k + 1]),
+                syn_flip_l[:, :, None],
+            )
+            mag_out = jnp.maximum(alpha * excl - beta, dtype(0.0))
+            outs.append(jnp.where(flip, -mag_out, mag_out))
+        mu_new = jnp.where(cm_l, jnp.concatenate(outs, axis=-1), dtype(0.0))
         # conflict-free layer -> unique var indices within the layer
         delta = (mu_new - mu_l).reshape(B, -1)
         # padded slots all point at variable 0 with delta exactly 0, so

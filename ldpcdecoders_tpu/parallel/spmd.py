@@ -96,17 +96,29 @@ def _minsum_rule(alpha, dtype):
     big = dtype(1e30)
 
     def rule(nu, cm_loc, syn_sign_loc):
-        mag = jnp.where(cm_loc, jnp.abs(nu), big)
-        neg = jnp.where(cm_loc, nu < 0, False)
-        min1 = jnp.min(mag, axis=-1, keepdims=True)
-        amin = jnp.argmin(mag, axis=-1)
-        oh = jax.nn.one_hot(amin, mag.shape[-1], dtype=bool)
-        min2 = jnp.min(jnp.where(oh, big, mag), axis=-1, keepdims=True)
-        excl_min = jnp.where(oh, min2, min1)
-        par = jnp.sum(neg, axis=-1, keepdims=True).astype(jnp.int32)
-        excl_par = (par - neg.astype(jnp.int32)) & 1
-        sign = jnp.where(excl_par == 1, -1.0, 1.0).astype(dtype)
-        return syn_sign_loc[:, :, None] * sign * jnp.maximum(dtype(alpha) * excl_min, 0.0)
+        # single unrolled two-min + parity sweep (see models/minsum.py)
+        dc = nu.shape[-1]
+        masked = jnp.where(cm_loc, nu, big)
+        mag = jnp.abs(masked)
+        neg = masked < dtype(0.0)
+        min1 = mag[..., 0:1]
+        idx1 = jnp.zeros(min1.shape, jnp.int32)
+        min2 = jnp.full_like(min1, big)
+        parity = neg[..., 0:1]
+        for k in range(1, dc):
+            v = mag[..., k : k + 1]
+            smaller = v < min1
+            min2 = jnp.where(smaller, min1, jnp.minimum(min2, v))
+            idx1 = jnp.where(smaller, k, idx1)
+            min1 = jnp.where(smaller, v, min1)
+            parity = jnp.logical_xor(parity, neg[..., k : k + 1])
+        outs = []
+        for k in range(dc):
+            excl = jnp.where(idx1 == k, min2, min1)
+            sflip = jnp.logical_xor(parity, neg[..., k : k + 1])
+            mag_out = jnp.maximum(dtype(alpha) * excl, dtype(0.0))
+            outs.append(jnp.where(sflip, -mag_out, mag_out))
+        return syn_sign_loc[:, :, None] * jnp.concatenate(outs, axis=-1)
 
     return rule
 
