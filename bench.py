@@ -37,6 +37,7 @@ def main():
 
     import ldpcdecoders_tpu as lt
     from ldpcdecoders_tpu.models.bp import make_bp_decode_fn
+    from ldpcdecoders_tpu.models.minsum import make_minsum_decode_fn
     from ldpcdecoders_tpu.models.minsum_q import make_minsum_q_decode_fn
 
     H = lt.parity_check_matrix(1000, 10, 9, rng=42)
@@ -78,6 +79,11 @@ def main():
     q_edge_iters_per_s = B * it_q * graph.n_edges / dt_q
     dt_qr, _, conv_qr = measure(q_fn, real_syns)
 
+    # bf16 min-sum (fastest measured variant)
+    bf_fn = jax.jit(make_minsum_decode_fn(graph, per, max_iters, dtype=jnp.bfloat16))
+    dt_bf, it_bf, _ = measure(bf_fn, hard_syns)
+    bf_edge_iters_per_s = B * it_bf * graph.n_edges / dt_bf
+
     target = 1e7  # BASELINE.json north-star: edge-iterations/s/chip
     result = {
         "metric": "bp_edge_iterations_per_s_per_chip",
@@ -87,6 +93,7 @@ def main():
         "extra": {
             "flagship_decoder": "sumproduct_f32_slot_major",
             "minsum_int8_edge_iters_per_s": round(q_edge_iters_per_s, 1),
+            "minsum_bf16_edge_iters_per_s": round(bf_edge_iters_per_s, 1),
             "decoded_syndromes_per_s_sumproduct": round(B / dt_bpr, 1),
             "decoded_syndromes_per_s_minsum_int8": round(B / dt_qr, 1),
             "converged_fraction_real": conv_bpr,
