@@ -34,6 +34,7 @@ from .models import (
     QuantizedMinSumDecoder,
     LayeredMinSumDecoder,
     BucketedDecoder,
+    CSSDecoder,
 )
 from . import parallel
 from .config import DecoderConfig

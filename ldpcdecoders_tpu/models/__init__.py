@@ -7,6 +7,7 @@ from .minsum import MinSumDecoder
 from .minsum_q import QuantizedMinSumDecoder
 from .layered import LayeredMinSumDecoder
 from .bucketed import BucketedDecoder
+from .css import CSSDecoder
 
 __all__ = [
     "Decoder",
@@ -21,4 +22,5 @@ __all__ = [
     "QuantizedMinSumDecoder",
     "LayeredMinSumDecoder",
     "BucketedDecoder",
+    "CSSDecoder",
 ]

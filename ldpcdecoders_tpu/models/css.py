@@ -1,0 +1,82 @@
+"""CSS code pair decoding: X and Z syndrome blocks together.
+
+The reference is consumed by QuantumClifford.jl, which calls the
+decoders separately on a CSS code's Hx and Hz blocks (SURVEY.md §1 L4).
+This convenience wrapper packages that workflow natively: one object
+holding a decoder per block, decoding both syndrome batches in one call.
+
+X-type stabilizers (Hx) detect Z errors and vice versa; the returned
+estimates follow that convention: ``z_errors`` reproduce the Hx
+syndromes, ``x_errors`` the Hz syndromes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import DecoderConfig
+
+__all__ = ["CSSDecoder"]
+
+
+class CSSDecoder:
+    """Paired decoders for a CSS code's (Hx, Hz) stabilizer blocks.
+
+    Args:
+      Hx: ``[mx, n]`` X-stabilizer parity checks (detect Z errors).
+      Hz: ``[mz, n]`` Z-stabilizer parity checks (detect X errors).
+      per: physical error rate (scalar or per-qubit [n]).
+      max_iters: maximum iterations for each block decoder.
+      decoder: decoder kind ("bposd" default — syndrome-consistent
+        output — or any `DecoderConfig` kind).
+      **knobs: extra DecoderConfig fields (osd_order, T, C, alpha, ...).
+    """
+
+    def __init__(self, Hx, Hz, per: float, max_iters: int, *, decoder: str = "bposd", **knobs):
+        Hx = np.asarray(Hx)
+        Hz = np.asarray(Hz)
+        if Hx.shape[1] != Hz.shape[1]:
+            raise ValueError(
+                f"Hx and Hz must act on the same qubits: {Hx.shape[1]} != {Hz.shape[1]}"
+            )
+        if ((Hx.astype(np.int64) @ Hz.astype(np.int64).T) % 2).any():
+            raise ValueError("CSS condition violated: Hx @ Hz^T != 0 (mod 2)")
+        self.n = int(Hx.shape[1])
+        cfg = DecoderConfig(kind=decoder, per=0.01 if np.ndim(per) else float(np.mean(per)), max_iters=max_iters, **knobs)
+        # build with the actual (possibly per-qubit) prior
+        self._cfg = cfg
+        self.x_block = cfg.build(Hx)  # decodes syndromes of Hx -> Z errors
+        self.z_block = cfg.build(Hz)  # decodes syndromes of Hz -> X errors
+        self._per = per
+
+    def batch_decode(self, syndromes_x, syndromes_z, *, seed: int = 0):
+        """Decode both blocks.
+
+        Args:
+          syndromes_x: ``[B, mx]`` syndromes of the X stabilizers.
+          syndromes_z: ``[B, mz]`` syndromes of the Z stabilizers.
+
+        Returns ``(z_errors, x_errors, z_converged, x_converged)`` where
+        ``z_errors [B, n]`` reproduce ``syndromes_x`` and ``x_errors``
+        reproduce ``syndromes_z``.
+        """
+        import inspect
+
+        def run(block, syn, s):
+            # pass the true (possibly per-qubit) prior when the decoder
+            # supports per-call overrides; otherwise the baked scalar holds
+            supports = "per" in inspect.signature(block._decode_batch).parameters
+            if supports and np.ndim(self._per):
+                return block.batch_decode(syn, seed=s, per=self._per)
+            return block.batch_decode(syn, seed=s)
+
+        z_err, z_conv = run(self.x_block, syndromes_x, seed)
+        x_err, x_conv = run(self.z_block, syndromes_z, seed + 1)
+        return z_err, x_err, z_conv, x_conv
+
+    def decode(self, syndrome_x, syndrome_z, *, seed: int = 0):
+        """Single-pair convenience; returns ``(z_error, x_error, ok_z, ok_x)``."""
+        ze, xe, zc, xc = self.batch_decode(
+            np.asarray(syndrome_x)[None], np.asarray(syndrome_z)[None], seed=seed
+        )
+        return ze[0], xe[0], bool(zc[0]), bool(xc[0])

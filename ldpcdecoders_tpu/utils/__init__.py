@@ -1,6 +1,13 @@
 from .noise import sample_errors, syndromes_of, sample_errors_device
 from .metrics import exact_recovery_ler, syndrome_match_rate, wilson_interval
-from .io import save_code_npz, load_code_npz, atomic_write_json, read_json
+from .io import (
+    save_code_npz,
+    load_code_npz,
+    save_graph_npz,
+    load_graph_npz,
+    atomic_write_json,
+    read_json,
+)
 from .debug import validate_inputs, check_decode_invariants
 from .profiling import trace, annotate
 
@@ -13,6 +20,8 @@ __all__ = [
     "wilson_interval",
     "save_code_npz",
     "load_code_npz",
+    "save_graph_npz",
+    "load_graph_npz",
     "atomic_write_json",
     "read_json",
     "validate_inputs",
