@@ -57,6 +57,12 @@ class Decoder:
     #: syndrome (True for all decoders except bit-flip, whose reference
     #: semantics also report convergence when no flip is worthwhile)
     converged_implies_syndrome_match: bool = True
+    #: whether batch_decode(per=...) can override the channel prior
+    #: without recompiling (False: bit-flip, Pallas-baked decoders)
+    supports_per_override: bool = True
+    #: whether a per-bit [n] prior vector is accepted (False: bit-flip,
+    #: int8-quantized)
+    supports_vector_prior: bool = True
 
     def _decode_batch(self, syndromes, seed: int):
         raise NotImplementedError
@@ -64,9 +70,7 @@ class Decoder:
     def _call_decode(self, syndromes, seed, per):
         if per is None:
             return self._decode_batch(syndromes, seed)
-        import inspect
-
-        if "per" not in inspect.signature(self._decode_batch).parameters:
+        if not self.supports_per_override:
             raise ValueError(
                 f"{type(self).__name__} does not support per-call channel "
                 "prior overrides"

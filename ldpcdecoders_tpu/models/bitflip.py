@@ -106,6 +106,8 @@ class BitFlipDecoder(Decoder):
     """
 
     converged_implies_syndrome_match = False
+    supports_per_override = False
+    supports_vector_prior = False
 
     def __init__(self, H, per: float = 0.0, max_iters: int = 100):
         self.graph = H if isinstance(H, TannerGraph) else TannerGraph.from_pcm(H)

@@ -34,6 +34,8 @@ class BucketedDecoder(Decoder):
         self.graph = inner.graph
         self.m, self.n = inner.m, inner.n
         self.converged_implies_syndrome_match = inner.converged_implies_syndrome_match
+        self.supports_per_override = inner.supports_per_override
+        self.supports_vector_prior = inner.supports_vector_prior
         if min_bucket < 1 or max_bucket < min_bucket:
             raise ValueError("need 1 <= min_bucket <= max_bucket")
         self.min_bucket = _next_pow2(min_bucket)

@@ -18,6 +18,8 @@ from ..config import DecoderConfig
 
 __all__ = ["CSSDecoder"]
 
+_VALIDATE_MAX_OPS = 200_000_000  # dense CSS-condition check budget
+
 
 class CSSDecoder:
     """Paired decoders for a CSS code's (Hx, Hz) stabilizer blocks.
@@ -25,29 +27,59 @@ class CSSDecoder:
     Args:
       Hx: ``[mx, n]`` X-stabilizer parity checks (detect Z errors).
       Hz: ``[mz, n]`` Z-stabilizer parity checks (detect X errors).
-      per: physical error rate (scalar or per-qubit [n]).
+      per: physical error rate (scalar, or per-qubit [n] for decoder
+        kinds that support vector priors — validated at construction).
       max_iters: maximum iterations for each block decoder.
       decoder: decoder kind ("bposd" default — syndrome-consistent
         output — or any `DecoderConfig` kind).
+      validate_css: check ``Hx @ Hz^T == 0 (mod 2)`` at construction.
+        Defaults to True for small codes; skipped automatically (with
+        this flag left None) when the dense check would exceed ~2e8
+        operations — pass True to force it regardless.
       **knobs: extra DecoderConfig fields (osd_order, T, C, alpha, ...).
     """
 
-    def __init__(self, Hx, Hz, per: float, max_iters: int, *, decoder: str = "bposd", **knobs):
+    def __init__(
+        self,
+        Hx,
+        Hz,
+        per,
+        max_iters: int,
+        *,
+        decoder: str = "bposd",
+        validate_css: bool | None = None,
+        **knobs,
+    ):
         Hx = np.asarray(Hx)
         Hz = np.asarray(Hz)
         if Hx.shape[1] != Hz.shape[1]:
             raise ValueError(
                 f"Hx and Hz must act on the same qubits: {Hx.shape[1]} != {Hz.shape[1]}"
             )
-        if ((Hx.astype(np.int64) @ Hz.astype(np.int64).T) % 2).any():
-            raise ValueError("CSS condition violated: Hx @ Hz^T != 0 (mod 2)")
+        ops = Hx.shape[0] * Hz.shape[0] * Hx.shape[1]
+        if validate_css is None:
+            validate_css = ops <= _VALIDATE_MAX_OPS
+        if validate_css:
+            prod = (Hx.astype(np.uint8) @ Hz.astype(np.uint8).T) & 1
+            if prod.any():
+                raise ValueError("CSS condition violated: Hx @ Hz^T != 0 (mod 2)")
+
         self.n = int(Hx.shape[1])
-        cfg = DecoderConfig(kind=decoder, per=0.01 if np.ndim(per) else float(np.mean(per)), max_iters=max_iters, **knobs)
-        # build with the actual (possibly per-qubit) prior
+        self._vector_prior = bool(np.ndim(per))
+        scalar_per = float(np.mean(per)) if self._vector_prior else float(per)
+        cfg = DecoderConfig(kind=decoder, per=scalar_per, max_iters=max_iters, **knobs)
         self._cfg = cfg
         self.x_block = cfg.build(Hx)  # decodes syndromes of Hx -> Z errors
         self.z_block = cfg.build(Hz)  # decodes syndromes of Hz -> X errors
         self._per = per
+        if self._vector_prior and not (
+            self.x_block.supports_per_override and self.x_block.supports_vector_prior
+        ):
+            raise ValueError(
+                f"decoder kind '{decoder}' cannot honor a per-qubit prior "
+                "vector; use a scalar per or a prior-capable kind "
+                "(bp, bposd, minsum, layered_minsum, bpots)"
+            )
 
     def batch_decode(self, syndromes_x, syndromes_z, *, seed: int = 0):
         """Decode both blocks.
@@ -60,13 +92,16 @@ class CSSDecoder:
         ``z_errors [B, n]`` reproduce ``syndromes_x`` and ``x_errors``
         reproduce ``syndromes_z``.
         """
-        import inspect
+        syndromes_x = np.asarray(syndromes_x)
+        syndromes_z = np.asarray(syndromes_z)
+        if syndromes_x.shape[0] != syndromes_z.shape[0]:
+            raise ValueError(
+                f"X and Z syndrome batches must pair up per shot: "
+                f"{syndromes_x.shape[0]} != {syndromes_z.shape[0]}"
+            )
 
         def run(block, syn, s):
-            # pass the true (possibly per-qubit) prior when the decoder
-            # supports per-call overrides; otherwise the baked scalar holds
-            supports = "per" in inspect.signature(block._decode_batch).parameters
-            if supports and np.ndim(self._per):
+            if self._vector_prior:
                 return block.batch_decode(syn, seed=s, per=self._per)
             return block.batch_decode(syn, seed=s)
 

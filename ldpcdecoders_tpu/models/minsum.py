@@ -205,6 +205,8 @@ class MinSumDecoder(Decoder):
         self.alpha = float(alpha)
         self.beta = float(beta)
         self._use_pallas = bool(use_pallas)
+        if use_pallas:
+            self.supports_per_override = False  # kernels bake the prior
         self.dtype = dtype
         self._decode_fn = jax.jit(
             make_minsum_decode_fn(

@@ -156,6 +156,8 @@ class QuantizedMinSumDecoder(Decoder):
       beta_q: integer offset-min-sum correction in quantized units (default 1).
     """
 
+    supports_vector_prior = False
+
     def __init__(self, H, per: float, max_iters: int, *, scale: float = 4.0, beta_q: int = 1):
         self.graph = H if isinstance(H, TannerGraph) else TannerGraph.from_pcm(H)
         self.m, self.n = self.graph.m, self.graph.n

@@ -15,6 +15,7 @@ import tempfile
 import numpy as np
 
 __all__ = [
+
     "save_code_npz",
     "load_code_npz",
     "save_graph_npz",
@@ -24,9 +25,14 @@ __all__ = [
 ]
 
 
+def _npz(path: str) -> str:
+    """np.savez appends '.npz' when missing; normalize so save/load agree."""
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save_code_npz(path: str, H: np.ndarray, **metadata) -> None:
     """Save a parity-check matrix (and optional metadata arrays) to npz."""
-    np.savez_compressed(path, H=np.asarray(H, dtype=np.uint8), **metadata)
+    np.savez_compressed(_npz(path), H=np.asarray(H, dtype=np.uint8), **metadata)
 
 
 def load_code_npz(path: str):
@@ -34,7 +40,7 @@ def load_code_npz(path: str):
 
     Returns ``(H, metadata_dict)``.
     """
-    with np.load(path) as data:
+    with np.load(_npz(path)) as data:
         H = data["H"]
         meta = {k: data[k] for k in data.files if k != "H"}
     return H, meta
@@ -53,14 +59,14 @@ def save_graph_npz(path: str, graph) -> None:
     )
     if graph.H is not None:
         arrays["H"] = graph.H
-    np.savez_compressed(path, **arrays)
+    np.savez_compressed(_npz(path), **arrays)
 
 
 def load_graph_npz(path: str):
     """Load a TannerGraph saved by :func:`save_graph_npz`."""
     from ..codes.graph import TannerGraph
 
-    with np.load(path) as d:
+    with np.load(_npz(path)) as d:
         m, n, max_dc, max_dv, n_edges = (int(x) for x in d["dims"])
         return TannerGraph(
             m=m,
@@ -85,6 +91,8 @@ def atomic_write_json(path: str, obj) -> None:
     try:
         with os.fdopen(fd, "w") as f:
             json.dump(obj, f, indent=2)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, path)
     except BaseException:
         if os.path.exists(tmp):
