@@ -20,6 +20,7 @@ from .codes import (
     cycle_matrix,
     hamming_code,
     hypergraph_product,
+    hypergraph_product_edges,
 )
 from .models import (
     Decoder,

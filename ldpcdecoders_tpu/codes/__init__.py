@@ -9,6 +9,7 @@ from .css import (
     cycle_matrix,
     hamming_code,
     hypergraph_product,
+    hypergraph_product_edges,
 )
 
 __all__ = [
@@ -24,4 +25,5 @@ __all__ = [
     "cycle_matrix",
     "hamming_code",
     "hypergraph_product",
+    "hypergraph_product_edges",
 ]

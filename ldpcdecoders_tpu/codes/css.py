@@ -21,6 +21,7 @@ __all__ = [
     "cycle_matrix",
     "hamming_code",
     "hypergraph_product",
+    "hypergraph_product_edges",
 ]
 
 
@@ -177,6 +178,72 @@ def hypergraph_product(H1: np.ndarray, H2: np.ndarray):
         axis=1,
     )
     return Hx, Hz
+
+
+def hypergraph_product_edges(H1, H2):
+    """Sparse hypergraph product: COO edge lists, never densified.
+
+    Same construction as :func:`hypergraph_product` but emitted directly
+    as edge lists, so million-qubit product codes build in milliseconds
+    (the dense kron form needs terabytes at that scale).  Inputs are
+    dense 0/1 matrices or ``(rows, cols, m, n)`` COO tuples.
+
+    Returns ``(hx, hz)`` where each is a ``(rows, cols, m, n)`` tuple
+    ready for :meth:`TannerGraph.from_edges`.
+
+    Block structure (qubit columns: ``n1*n2`` 'vertical' then ``m1*m2``
+    'horizontal'):
+
+        Hx = [ H1 (x) I_n2  |  I_m1 (x) H2^T ]   rows: m1*n2
+        Hz = [ I_n1 (x) H2  |  H1^T (x) I_m2 ]   rows: n1*m2
+    """
+
+    def as_coo(H):
+        if isinstance(H, tuple):
+            r, c, m, n = H
+            return np.asarray(r, np.int64), np.asarray(c, np.int64), int(m), int(n)
+        H = np.asarray(H)
+        r, c = np.nonzero(H)
+        return r.astype(np.int64), c.astype(np.int64), H.shape[0], H.shape[1]
+
+    r1, c1, m1, n1 = as_coo(H1)
+    r2, c2, m2, n2 = as_coo(H2)
+    nq = n1 * n2 + m1 * m2
+
+    def kron_edges(ra, ca, reps, row_mul, col_mul):
+        """Edges of A (x) I_reps: (a,b) -> (a*row_mul + k, b*col_mul + k)."""
+        k = np.arange(reps, dtype=np.int64)
+        rows = (ra[:, None] * row_mul + k).reshape(-1)
+        cols = (ca[:, None] * col_mul + k).reshape(-1)
+        return rows, cols
+
+    def eye_kron_edges(ra, ca, reps, row_mul, col_mul):
+        """Edges of I_reps (x) A: (a,b) -> (k*row_mul + a, k*col_mul + b)."""
+        k = np.arange(reps, dtype=np.int64)
+        rows = (k[:, None] * row_mul + ra).reshape(-1)
+        cols = (k[:, None] * col_mul + ca).reshape(-1)
+        return rows, cols
+
+    # Hx = [H1 (x) I_n2 | I_m1 (x) H2^T], shape [m1*n2, nq]
+    xr1, xc1 = kron_edges(r1, c1, n2, n2, n2)
+    xr2, xc2 = eye_kron_edges(c2, r2, m1, n2, m2)  # H2^T edges are (c2, r2)
+    hx = (
+        np.concatenate([xr1, xr2]),
+        np.concatenate([xc1, n1 * n2 + xc2]),
+        m1 * n2,
+        nq,
+    )
+
+    # Hz = [I_n1 (x) H2 | H1^T (x) I_m2], shape [n1*m2, nq]
+    zr1, zc1 = eye_kron_edges(r2, c2, n1, m2, n2)
+    zr2, zc2 = kron_edges(c1, r1, m2, m2, m2)  # H1^T edges are (c1, r1)
+    hz = (
+        np.concatenate([zr1, zr2]),
+        np.concatenate([zc1, n1 * n2 + zc2]),
+        n1 * m2,
+        nq,
+    )
+    return hx, hz
 
 
 def hamming_code(r: int = 3) -> np.ndarray:
