@@ -57,6 +57,7 @@ def _decoder_factory(name: str, H, max_iters: int, osd_order: int, T: int, C: fl
         "bpots": lambda per: lt.BPOTSDecoder(H, per, max_iters, T=T, C=C),
         "minsum": lambda per: lt.MinSumDecoder(H, per, max_iters),
         "minsum_int8": lambda per: lt.QuantizedMinSumDecoder(H, per, max_iters),
+        "layered_minsum": lambda per: lt.LayeredMinSumDecoder(H, per, max_iters),
     }
     if name not in table:
         raise SystemExit(f"unknown decoder '{name}' (choose from {sorted(table)})")

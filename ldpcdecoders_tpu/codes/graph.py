@@ -185,13 +185,32 @@ class TannerGraph:
         """Compile a dense/sparse 0-1 matrix into padded edge-list form.
 
         Args:
-          H: ``[m, n]`` array-like of 0/1.
+          H: ``[m, n]`` array-like of 0/1, or any scipy.sparse matrix
+            (mirroring the reference's ``SparseMatrixCSC{Bool,Int}``
+            acceptance, /root/reference/src/decoders/bpots_decoder.jl:90).
+            Sparse inputs route through :meth:`from_edges` and keep a dense
+            H attached only when small enough for OSD/debug tools.
           degree_multiple: round padded degrees up to a multiple of this
             (e.g. 8 to align the slot axis to TPU sublanes).
           use_native: force the C++ compiler on/off (default: auto — native
             for graphs with more than ~100k entries, where the Python loop
             becomes the bottleneck).
         """
+        if hasattr(H, "tocoo"):  # scipy.sparse (any format), duck-typed
+            coo = H.tocoo()
+            m_s, n_s = coo.shape
+            keep = np.asarray(coo.data) != 0
+            rows = np.asarray(coo.row)[keep]
+            cols = np.asarray(coo.col)[keep]
+            # attach a dense H only at sizes where OSD is plausible;
+            # million-qubit sparse codes must never densify
+            dense = None
+            if m_s * n_s <= 4_000_000:
+                dense = np.zeros((m_s, n_s), np.uint8)
+                dense[rows, cols] = 1
+            return TannerGraph.from_edges(
+                rows, cols, m_s, n_s, degree_multiple=degree_multiple, H=dense
+            )
         H = np.asarray(H)
         if H.ndim != 2:
             raise ValueError("H must be 2-D")

@@ -93,7 +93,7 @@ class FERSweep:
         checkpoint_path: str | None = None,
         seed: int = 0,
     ):
-        self.H = np.asarray(H)
+        self.H = np.asarray(H.toarray() if hasattr(H, "toarray") else H)
         self.decoder_factory = decoder_factory
         self.batch = int(batch)
         self.checkpoint_path = checkpoint_path
@@ -161,8 +161,16 @@ class FERSweep:
                 # step explicitly (not trials // batch) keeps resumed runs
                 # on fresh streams even after a partial final batch
                 step = pt.steps
-                rng = np.random.default_rng(
-                    (self.seed, int(per * 1e9) & 0x7FFFFFFF, step)
+                per_hash = int(per * 1e9) & 0x7FFFFFFF
+                rng = np.random.default_rng((self.seed, per_hash, step))
+                # decoder RNG stream derives from (seed, point, step) too —
+                # a plain seed+step would reuse identical tie-break streams
+                # across noise points, correlating stochastic decoders; the
+                # salt keeps it disjoint from the noise-sampling stream
+                decode_seed = int(
+                    np.random.default_rng(
+                        (self.seed, per_hash, step, 0xDEC0DE)
+                    ).integers(1 << 31)
                 )
                 b = min(self.batch, trials_per_point - pt.trials)
                 errs = sample_errors(rng, b, n, per)
@@ -170,7 +178,7 @@ class FERSweep:
                 t0 = time.perf_counter()
                 try:
                     guesses, conv, iters, aux, _ = decoder.batch_decode_detailed(
-                        syns, seed=self.seed + step, **per_kw
+                        syns, seed=decode_seed, **per_kw
                     )
                 except ValueError:
                     if not per_kw:
@@ -181,7 +189,7 @@ class FERSweep:
                     per_kw = {}
                     decoder = self.decoder_factory(per)
                     guesses, conv, iters, aux, _ = decoder.batch_decode_detailed(
-                        syns, seed=self.seed + step
+                        syns, seed=decode_seed
                     )
                 dt = time.perf_counter() - t0
                 exact = (guesses.astype(bool) == errs).all(axis=1)

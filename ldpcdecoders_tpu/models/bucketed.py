@@ -41,7 +41,7 @@ class BucketedDecoder(Decoder):
         self.min_bucket = _next_pow2(min_bucket)
         self.max_bucket = _next_pow2(max_bucket)
 
-    def _decode_batch(self, syndromes, seed: int = 0):
+    def _decode_batch(self, syndromes, seed: int = 0, per=None):
         syndromes = np.asarray(syndromes)
         B = syndromes.shape[0]
         errs = np.zeros((B, self.n), np.int8)
@@ -60,7 +60,7 @@ class BucketedDecoder(Decoder):
             if bucket > size:
                 pad = np.zeros((bucket - size, self.m), dtype=syndromes.dtype)
                 chunk = np.concatenate([chunk, pad], axis=0)
-            e, c, it, aux = self.inner._decode_batch(chunk, seed + chunk_idx)
+            e, c, it, aux = self.inner._call_decode(chunk, seed + chunk_idx, per)
             errs[start : start + size] = np.asarray(e)[:size]
             conv[start : start + size] = np.asarray(c)[:size]
             iters[start : start + size] = np.asarray(it)[:size]

@@ -57,6 +57,26 @@ def test_bucketed_aux_passthrough(code):
     assert stats.batch_size == 21
 
 
+def test_bucketed_forwards_per_override(code):
+    """batch_decode(per=...) must reach the inner decoder (advisor finding:
+    the wrapper advertised supports_per_override but raised TypeError)."""
+    H = code
+    inner = lt.BeliefPropagationDecoder(H, 0.02, 30)
+    buck = lt.BucketedDecoder(inner, min_bucket=8, max_bucket=32)
+    rng = np.random.default_rng(4)
+    errs = rng.random((21, H.shape[1])) < 0.05
+    syns = (errs @ H.T) % 2
+    e_b, c_b = buck.batch_decode(syns, per=0.05)
+    e_ref, c_ref = inner.batch_decode(syns, per=0.05)
+    assert np.array_equal(e_ref, e_b)
+    assert np.array_equal(c_ref, c_b)
+    # and a decoder without per support still rejects cleanly
+    bf = lt.BucketedDecoder(lt.BitFlipDecoder(H, 0.02, 10), min_bucket=8)
+    assert not bf.supports_per_override
+    with pytest.raises(ValueError):
+        bf.batch_decode(syns, per=0.05)
+
+
 def test_bucketed_rejects_bad_config(code):
     inner = lt.MinSumDecoder(code, 0.02, 10)
     with pytest.raises(ValueError):
