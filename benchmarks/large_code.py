@@ -73,6 +73,24 @@ def run(n=65536, wr=8, wc=4, batch=128, iters=20):
         dt = time.perf_counter() - t0
         results[name + "_edge_iters_per_s"] = round(work / dt, 1)
 
+    # tensor-parallel (check-sharded) entry on the same dense-free graph:
+    # all available devices go on the 'model' axis (the large-code story —
+    # one psum per iteration); a single device runs the same program with
+    # a singleton collective, so the path is always measured
+    from ldpcdecoders_tpu.parallel import make_check_sharded_minsum_fn, make_mesh
+
+    d_model = len(jax.devices())
+    mesh = make_mesh(d_model, axis_names=("data", "model"), shape=(1, d_model))
+    tp_fn = make_check_sharded_minsum_fn(graph, 0.01, iters, mesh)
+    out = tp_fn(syns)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = tp_fn(syns)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    results["tp_minsum_edge_iters_per_s"] = round(work / dt, 1)
+    results["tp_model_devices"] = d_model
+
     results["device"] = str(jax.devices()[0])
     print(json.dumps(results))
     return results

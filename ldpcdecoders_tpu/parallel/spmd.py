@@ -155,8 +155,6 @@ def _make_check_sharded_fn(
     chk_vars[:m] = graph.chk_vars
     chk_mask = np.zeros((m_pad, max_dc), bool)
     chk_mask[:m] = graph.chk_mask
-    Ht_pad = np.zeros((n, m_pad), np.float32)
-    Ht_pad[:, :m] = graph.require_H().T
     L0 = dtype(np.log((1.0 - per) / per))
 
     def local_iter(mu, total, syn_sign_loc, cv_loc, cm_loc):
@@ -166,12 +164,12 @@ def _make_check_sharded_fn(
         nu = Tg - mu
         return rule(nu, cm_loc, syn_sign_loc)
 
-    def spmd_body(syn, cv_loc, cm_loc, ht_loc):
+    def spmd_body(syn, cv_loc, cm_loc):
         """Runs per-shard: syn [B_loc, m_loc]; constants are local slices."""
         B = syn.shape[0]
         m_loc = syn.shape[1]
         syn_sign = (1.0 - 2.0 * syn.astype(jnp.float32)).astype(dtype)
-        syn_f = syn.astype(jnp.float32)
+        syn_i = syn.astype(jnp.int32)
 
         state0 = (
             jnp.zeros((B, m_loc, max_dc), dtype),  # local mu
@@ -205,11 +203,15 @@ def _make_check_sharded_fn(
             total = jnp.where(active[:, None], total_new, total)
             err = jnp.where(active[:, None], err_new, err)
 
-            # local syndrome check + all-reduce of mismatch counts
-            syn_hat = jnp.mod(
-                jnp.dot(err, ht_loc, preferred_element_type=jnp.float32), 2.0
+            # local syndrome check via an O(edges) gather over this shard's
+            # own check adjacency (err is replicated [B, n], so no dense H
+            # slice is ever needed — from_edges graphs shard cleanly),
+            # then all-reduce of mismatch counts
+            err_g = jnp.take(err.astype(jnp.int32), cv_loc, axis=1)
+            syn_hat = (
+                jnp.sum(jnp.where(cm_loc, err_g, 0), axis=-1) & 1
             )
-            local_mis = jnp.sum(syn_hat != syn_f, axis=-1)
+            local_mis = jnp.sum(syn_hat != syn_i, axis=-1)
             mis = jax.lax.psum(local_mis, axis_name=model_axis)
             ok = mis == 0
             iters = jnp.where(ok & active, it + 1, iters)
@@ -231,7 +233,6 @@ def _make_check_sharded_fn(
             P(data_axis, model_axis),  # syndromes [B, m_pad]
             P(model_axis, None),  # chk_vars
             P(model_axis, None),  # chk_mask
-            P(None, model_axis),  # Ht
         ),
         out_specs=(spec_data, P(data_axis), P(data_axis)),
         check_vma=False,
@@ -239,7 +240,6 @@ def _make_check_sharded_fn(
 
     cv_c = jnp.asarray(chk_vars)
     cm_c = jnp.asarray(chk_mask)
-    ht_c = jnp.asarray(Ht_pad)
 
     d_data = mesh.shape[data_axis]
 
@@ -252,7 +252,7 @@ def _make_check_sharded_fn(
                 f"batch {B} must divide the '{data_axis}' mesh size {d_data}"
             )
         syn_pad = jnp.zeros((B, m_pad), syndromes.dtype).at[:, :m].set(syndromes)
-        return mapped(syn_pad, cv_c, cm_c, ht_c)
+        return mapped(syn_pad, cv_c, cm_c)
 
     return decode
 
@@ -276,10 +276,10 @@ def make_check_sharded_minsum_fn(
     over 'data'.  Returns a jitted ``syndromes [B, m] -> (err [B, n] int8,
     converged [B] bool, iters [B])``.
 
-    Current limitation: the per-shard syndrome check uses a dense
-    ``[n, m/D]`` slice of H, so the graph must carry a dense H
-    (``from_pcm``); a gather-based sharded check is future work
-    (docs/ROADMAP.md).
+    The per-shard syndrome check is an O(edges) gather over the shard's
+    own check adjacency, so graphs compiled from sparse edge lists
+    (``TannerGraph.from_edges`` — million-qubit HGP codes) shard without
+    ever materializing a dense H.
     """
     return _make_check_sharded_fn(
         graph, per, max_iters, mesh, _minsum_rule(alpha, dtype),
@@ -302,8 +302,8 @@ def make_check_sharded_sumproduct_fn(
     The flagship algorithm's tensor-parallel form: identical update
     structure to :func:`make_check_sharded_minsum_fn` but with the
     clamped tanh-product check rule, so FER behavior matches LLR-domain
-    sum-product rather than the min-sum approximation.  Same dense-H
-    limitation applies.
+    sum-product rather than the min-sum approximation.  Like the min-sum
+    form, it is dense-free: ``from_edges`` graphs are fully supported.
     """
     return _make_check_sharded_fn(
         graph, per, max_iters, mesh, _sumproduct_rule(dtype),
