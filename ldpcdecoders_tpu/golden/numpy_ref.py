@@ -238,8 +238,14 @@ def bitflip_decode(H, syndrome, max_iters, rng):
     return err, converged
 
 
-def bpots_decode(H, syndrome, per, max_iters, T=9, C=2.0):
-    """LLR-domain BP with Ordered-Trapping-Set biasing (single syndrome)."""
+def bpots_decode(H, syndrome, per, max_iters, T=9, C=2.0, trace=None):
+    """LLR-domain BP with Ordered-Trapping-Set biasing (single syndrome).
+
+    If ``trace`` is a list, a per-iteration record dict is appended after
+    every iteration (decisions, pre-bias oscillation counters, mismatch,
+    weight, best-tracking state, beliefs, bias nodes) — consumed by the
+    bitwise parity tests against the batched JAX implementation.
+    """
     H = np.asarray(H, dtype=np.uint8)
     syndrome = np.asarray(syndrome).astype(np.uint8)
     m, n = H.shape
@@ -287,8 +293,22 @@ def bpots_decode(H, syndrome, per, max_iters, T=9, C=2.0):
             best_weight = weight
             best_decisions = decisions.copy()
             if mismatch == 0:
+                if trace is not None:
+                    trace.append(
+                        dict(
+                            dec=decisions.copy(), osc=oscillations.copy(),
+                            mis=mismatch, weight=weight, best_mis=best_mismatch,
+                            best_w=best_weight, llrs=llrs.copy(), biased=False,
+                            j1=None, j2=None,
+                        )
+                    )
                 return best_decisions, True
 
+        rec = dict(
+            dec=decisions.copy(), osc=oscillations.copy(), mis=mismatch,
+            weight=weight, best_mis=best_mismatch, best_w=best_weight,
+            llrs=llrs.copy(), biased=False, j1=None, j2=None,
+        )
         if mismatch > 0 and it % T == 0:
             Omega = Pi.copy()
             if oscillations.max() > 0:
@@ -300,5 +320,8 @@ def bpots_decode(H, syndrome, per, max_iters, T=9, C=2.0):
                 Omega[j1] = -C
                 j2 = int(np.argmin(absllr))
                 Omega[j2] = -C
+                rec.update(biased=True, j1=j1, j2=j2)
+        if trace is not None:
+            trace.append(rec)
 
     return best_decisions, False

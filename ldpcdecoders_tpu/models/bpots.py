@@ -33,16 +33,45 @@ from ..ops.syndrome import make_syndrome_fn
 from .base import Decoder
 from .priors import per_to_depolarizing_llr
 
-__all__ = ["BPOTSDecoder", "make_bpots_decode_fn"]
+__all__ = ["BPOTSDecoder", "make_bpots_decode_fn", "select_bias_nodes"]
 
 from ..ops.clamps import TANH_CLAMP as _MAX_TANH, MSG_CLAMP as _MAX_MSG
 
 
+def select_bias_nodes(osc, absllr):
+    """OTS bias-node selection with the reference's exact tie order.
+
+    j1 = argmax oscillation count, ties broken by smaller ``|llr|``, then
+    first index (bpots_decoder.jl:300-321); j2 = global argmin ``|llr|``,
+    first index on ties (bpots_decoder.jl:323-334; j2 may equal j1).
+    Batched: ``osc [B, n]`` int, ``absllr [B, n]``; returns
+    ``(j1 [B], j2 [B], has_osc [B])`` — biasing only applies when the max
+    oscillation count is > 0 (the reference's ``max_osc > 0`` guard).
+    """
+    max_osc = jnp.max(osc, axis=-1)
+    has_osc = max_osc > 0
+    cand = osc == max_osc[:, None]
+    inf = jnp.asarray(jnp.inf, absllr.dtype)
+    j1 = jnp.argmin(jnp.where(cand, absllr, inf), axis=-1)
+    j2 = jnp.argmin(absllr, axis=-1)
+    return j1, j2, has_osc
+
+
 def make_bpots_decode_fn(
     graph: TannerGraph, per: float, max_iters: int, T: int = 9, C: float = 2.0,
-    dtype=jnp.float32,
+    dtype=jnp.float32, trace: bool = False,
 ):
-    """Build a jittable ``syndromes [B, m] -> (best_dec, converged, iters, llrs)``."""
+    """Build a jittable ``syndromes [B, m] -> (best_dec, converged, iters, llrs)``.
+
+    With ``trace=True`` the returned function instead runs a fixed
+    ``max_iters``-step ``lax.scan`` (no early exit; finished lanes stay
+    frozen exactly as in the production ``while_loop``) and returns
+    ``(outputs, trace_dict)`` where ``trace_dict`` stacks per-iteration
+    decisions, pre-bias oscillation counters, syndrome mismatch counts,
+    best-(mismatch, weight) tracking state, beliefs, and the bias nodes
+    (j1, j2, applied) — the instrumentation used by the bitwise golden-
+    parity tests (use ``dtype=jnp.float64`` under ``jax.enable_x64``).
+    """
     m, n = graph.m, graph.n
     max_dc, max_dv = graph.max_dc, graph.max_dv
     # slot-major layout [B, slot, node]: large node axis in TPU lanes
@@ -130,27 +159,36 @@ def make_bpots_decode_fn(
             # OTS biasing every T iterations with nonzero mismatch
             bias_lane = active & ~newly & (mis > 0) & ((it + 1) % T == 0)
             absllr = jnp.abs(llrs)
-            max_osc = jnp.max(osc, axis=-1)
-            has_osc = max_osc > 0
-            cand = osc == max_osc[:, None]
-            inf = jnp.asarray(jnp.inf, dtype)
-            j1 = jnp.argmin(jnp.where(cand, absllr, inf), axis=-1)
-            j2 = jnp.argmin(absllr, axis=-1)
+            j1, j2, has_osc = select_bias_nodes(osc, absllr)
             oh1 = jax.nn.one_hot(j1, n, dtype=bool)
             oh2 = jax.nn.one_hot(j2, n, dtype=bool)
             apply_b = (bias_lane & has_osc)[:, None]
             Omega_biased = jnp.where((oh1 | oh2) & apply_b, -C, pi_val)
             Omega = jnp.where(bias_lane[:, None], Omega_biased, s["Omega"])
-            osc = jnp.where(oh1 & apply_b, 0, osc)
+            osc_post = jnp.where(oh1 & apply_b, 0, osc)
+
+            record = dict(
+                dec=dec,
+                osc=osc,  # pre-bias counters (post-update)
+                mis=mis,
+                weight=weight,
+                best_mis=best_mis,
+                best_w=best_w,
+                llrs=llrs,
+                j1=j1,
+                j2=j2,
+                biased=bias_lane & has_osc,
+                active=active,
+            )
 
             # freeze finished lanes
             am = active[:, None]
             # [B, E] messages are deliberately left unfrozen on done lanes
             # (cannot influence outputs; saves a memory pass per iteration)
-            return dict(
+            new_s = dict(
                 Mg=Mg_new,
                 Omega=Omega,
-                osc=jnp.where(am, osc, s["osc"]),
+                osc=jnp.where(am, osc_post, s["osc"]),
                 prior_dec=jnp.where(am, dec, s["prior_dec"]),
                 best_dec=best_dec,
                 best_mis=best_mis,
@@ -160,8 +198,17 @@ def make_bpots_decode_fn(
                 it=it + 1,
                 iters=iters,
             )
+            return new_s, record
 
-        s = jax.lax.while_loop(cond, body, state0)
+        if trace:
+            s, records = jax.lax.scan(
+                lambda st, _: body(st), state0, None, length=max_iters
+            )
+            iters = jnp.where(s["done"], s["iters"], s["it"])
+            outputs = (s["best_dec"].astype(jnp.int8), s["done"], iters, s["llrs"])
+            return outputs, records
+
+        s = jax.lax.while_loop(cond, lambda st: body(st)[0], state0)
         iters = jnp.where(s["done"], s["iters"], s["it"])
         return s["best_dec"].astype(jnp.int8), s["done"], iters, s["llrs"]
 
