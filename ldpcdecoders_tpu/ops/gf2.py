@@ -22,7 +22,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["pack_bits", "gf2_osd0", "gf2_osdw"]
+__all__ = ["pack_bits", "gf2_osd0", "gf2_osdw", "gf2_eliminate", "osdw_sweep"]
 
 
 def pack_bits(bits):
@@ -132,12 +132,24 @@ def gf2_osd0(Hp, bp_err, resid, n):
 
 
 def gf2_osdw(Hp, bp_err, syndrome, osd_order, n):
-    """OSD-w: full RREF + 2^w candidate sweep (single lane).
+    """OSD-w: Gauss–Jordan RREF + 2^w candidate sweep (single lane).
 
-    Faithful to belief_propagation_osd.jl:127-209: full forward
-    elimination with syndrome co-transform, backward diagonalization,
-    then exhaustive assignment of the first ``osd_order`` most-reliable
-    non-pivot columns, keeping the minimum-Hamming-weight completion.
+    Behaviorally faithful to belief_propagation_osd.jl:127-209 (full
+    elimination with syndrome co-transform, then exhaustive assignment of
+    the first ``osd_order`` most-reliable non-pivot columns, keeping the
+    minimum-Hamming-weight completion), but re-architected for the TPU:
+
+      * single-pass Gauss–Jordan with a *used-row mask* instead of row
+        swaps — pivot columns (and therefore the solution, which depends
+        only on them) are identical to the reference's swap-based
+        forward-elimination + backward-diagonalization, while saving the
+        whole m-trip diagonalization loop and two masked passes per trip;
+      * the packed matrix lives transposed ``[W, m]`` so the large row
+        axis m occupies the TPU lane dimension (full 128-lane VPU use;
+        the natural ``[m, W]`` layout keeps only 32 of 128 lanes busy);
+      * the column loop is a ``while_loop`` that exits as soon as the
+        rank is exhausted (all m pivots found) rather than always running
+        n trips.
 
     Args:
       Hp: ``[m, W]`` uint32 packed rows (reliability-sorted columns).
@@ -146,54 +158,61 @@ def gf2_osdw(Hp, bp_err, syndrome, osd_order, n):
       osd_order: static sweep order w (2^w candidates).
       n: static column count.
     """
-    m, W = Hp.shape
+    Ht, s, pivcol, r = gf2_eliminate(Hp.T, syndrome.astype(jnp.uint32), n)
+    return osdw_sweep(Ht, s, pivcol, r, bp_err, osd_order, n)
+
+
+def gf2_eliminate(Ht, s, n):
+    """Gauss–Jordan RREF of packed columns (single lane, XLA path).
+
+    Args:
+      Ht: ``[W, m]`` uint32 — transposed packed rows (row axis in TPU
+        lanes; word w of row i at ``Ht[w, i]`` holds columns 32w..32w+31).
+      s: ``[m]`` uint32 0/1 syndrome, co-transformed in place.
+      n: static column count.
+
+    Returns ``(Ht, s, pivcol [m] int32, r)`` where ``pivcol[i]`` is row
+    i's pivot column (sentinel ``n`` = row unused) and ``r`` is the rank.
+    """
+    W, m = Ht.shape
     rows = jnp.arange(m)
 
-    def fwd(j, st):
-        Hp, s, r, piv = st
-        col = _col(Hp, j)
-        avail = (col == 1) & (rows >= r)
-        found = jnp.any(avail) & (r < m)
+    def cond(st):
+        _, _, _, r, j = st
+        return (j < n) & (r < m)
+
+    def body(st):
+        Ht, s, pivcol, r, j = st
+        word = jax.lax.dynamic_index_in_dim(Ht, j >> 5, axis=0, keepdims=False)
+        col = (word >> (j & 31).astype(jnp.uint32)) & jnp.uint32(1)  # [m]
+        unused = pivcol == n
+        avail = (col == 1) & unused
+        found = jnp.any(avail)
         k = jnp.argmax(avail)
-        Hp2, s2 = _swap_rows(Hp, s, r, k)
-        col2 = _col(Hp2, j)
-        elim = (col2 == 1) & (rows > r)
-        pivrow = jnp.take(Hp2, r, axis=0)
-        pivs = jnp.take(s2, r)
-        Hp2 = jnp.where(elim[:, None], Hp2 ^ pivrow[None, :], Hp2)
-        s2 = jnp.where(elim, s2 ^ pivs, s2)
-        Hp = jnp.where(found, Hp2, Hp)
-        s = jnp.where(found, s2, s)
-        piv = jnp.where(found, piv.at[r].set(j), piv)
-        r = r + found.astype(r.dtype)
-        return Hp, s, r, piv
-
-    piv0 = jnp.full((m,), n, jnp.int32)
-    Hp, s, r, piv = jax.lax.fori_loop(
-        0, n, fwd, (Hp, syndrome.astype(jnp.uint32), jnp.int32(0), piv0)
-    )
-
-    # diagonalize: eliminate above each pivot, in reverse pivot order
-    def diag(idx, st):
-        Hp, s = st
-        rr = r - 1 - idx
-        valid = rr >= 0
-        rr_c = jnp.maximum(rr, 0)
-        c = jnp.take(piv, rr_c)
-        col = _col(Hp, c)
-        elim = valid & (col == 1) & (rows < rr_c)
-        pivrow = jnp.take(Hp, rr_c, axis=0)
-        pivs = jnp.take(s, rr_c)
-        Hp = jnp.where(elim[:, None], Hp ^ pivrow[None, :], Hp)
+        is_k = rows == k
+        # pivot row k's packed words, extracted as a masked lane-reduction
+        # (gather-free: plays well inside fused loop bodies)
+        pivrow = jnp.sum(jnp.where(is_k[None, :], Ht, jnp.uint32(0)), axis=1)  # [W]
+        pivs = jnp.sum(jnp.where(is_k, s, jnp.uint32(0)))
+        elim = (col == 1) & ~is_k & found
+        Ht = jnp.where(elim[None, :], Ht ^ pivrow[:, None], Ht)
         s = jnp.where(elim, s ^ pivs, s)
-        return Hp, s
+        pivcol = jnp.where(found & is_k, j, pivcol)
+        return Ht, s, pivcol, r + found.astype(r.dtype), j + 1
 
-    Hp, s = jax.lax.fori_loop(0, m, diag, (Hp, s))
+    pivcol0 = jnp.full((m,), n, jnp.int32)  # n == 'row unused' sentinel
+    Ht, s, pivcol, r, _ = jax.lax.while_loop(
+        cond, body, (Ht, s, pivcol0, jnp.int32(0), jnp.int32(0))
+    )
+    return Ht, s, pivcol, r
 
+
+def osdw_sweep(Ht, s, pivcol, r, bp_err, osd_order, n):
+    """2^w most-reliable-column sweep over an RREF system (single lane)."""
     # most-reliable (non-pivot) columns, ascending index; the reference
     # clamps osd_order to n - rank — we mask invalid trial bits instead,
     # which yields the same minimum over a sweep with duplicates
-    is_piv = jnp.zeros((n,), bool).at[piv].set(True, mode="drop")
+    is_piv = jnp.zeros((n,), bool).at[pivcol].set(True, mode="drop")
     mr_order = jnp.argsort(is_piv, stable=True)
     mr_cols = mr_order[:osd_order] if osd_order > 0 else mr_order[:0]
     n_mr = n - r
@@ -203,11 +222,11 @@ def gf2_osdw(Hp, bp_err, syndrome, osd_order, n):
         """Fill pivot columns from the transformed syndrome + MR parity."""
         err_mr = pack_bits(err) & mr_mask
         parity = (
-            jnp.sum(jax.lax.population_count(Hp & err_mr[None, :]), axis=1)
+            jnp.sum(jax.lax.population_count(Ht & err_mr[:, None]), axis=0)
             & jnp.uint32(1)
         ).astype(jnp.uint32)
-        vals = s ^ parity
-        return err.at[piv].set(vals, mode="drop")
+        vals = s ^ parity  # [m], indexed by row
+        return err.at[pivcol].set(vals, mode="drop")
 
     def cand(x, st):
         best_err, min_w, err = st

@@ -1,0 +1,132 @@
+"""Pallas TPU kernel: batched GF(2) Gauss–Jordan elimination for OSD.
+
+This is the elimination stage of OSD-w (ops/gf2.py::gf2_eliminate) moved
+into a single VMEM-resident kernel.  The XLA ``while_loop`` form re-reads
+the whole ``[B, W, m]`` packed state from HBM on every one of the ~n
+serial column trips (~n * 4*W*m bytes per lane — hundreds of GB for the
+reference benchmark batch), which makes the elimination bandwidth-bound.
+Here each grid program keeps its batch tile's packed matrix in VMEM for
+the *entire* n-trip loop: HBM traffic drops to one read + one write of
+the state, and the trips run at VMEM bandwidth.
+
+Semantics are identical to ``gf2_eliminate`` (same pivot columns, same
+co-transformed syndrome, same row->pivot-column map with sentinel n);
+the OSD-w candidate sweep stays in XLA (ops/gf2.py::osdw_sweep).
+
+Mosaic constraints honored (probed on this toolchain, see
+ops/pallas_minsum.py): no materialized i1 tensors — boolean state is
+carried as uint32 0/1 with comparisons only ever feeding selects — and
+no arbitrary gathers — the pivot row is extracted with a masked
+lane-reduction, the current column with a dynamic sublane slice.
+
+Reference behavior being re-architected: the swap-based elimination of
+/root/reference/src/decoders/belief_propagation_osd.jl:127-172.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["gf2_eliminate_pallas"]
+
+
+def _elim_kernel(ht_in, s_in, ht_out, s_out, piv_out, *, n, m_pad):
+    u1 = jnp.uint32(1)
+    u0 = jnp.uint32(0)
+    bt = ht_in.shape[0]
+    iota_m = jax.lax.broadcasted_iota(jnp.int32, (bt, m_pad), 1)
+
+    ht_out[:] = ht_in[:]
+    s_out[:] = s_in[:]
+    piv_out[:] = jnp.full((bt, m_pad), n, jnp.int32)
+
+    def trip(j, _):
+        w = j >> 5
+        bit = (j & 31).astype(jnp.uint32)
+        word = ht_out[:, pl.ds(w, 1), :][:, 0, :]  # [bt, m]
+        col = (word >> bit) & u1
+        pivcol = piv_out[:]
+        unused = jnp.where(pivcol == n, u1, u0)
+        avail = col * unused  # uint32 0/1
+        # first available row: min row index among avail (lane reduction)
+        k = jnp.min(jnp.where(avail > u0, iota_m, m_pad), axis=1)  # [bt]
+        found = jnp.where(k < m_pad, u1, u0)  # [bt]
+        is_k = jnp.where(iota_m == k[:, None], u1, u0)  # [bt, m]
+
+        ht = ht_out[:]  # [bt, W, m]
+        s = s_out[:]  # [bt, m]
+        # pivot row's packed words + syndrome bit via masked lane-reductions
+        # (Mosaic has no unsigned reductions: bitcast to i32, reduce — the
+        # mask selects exactly one element so the sum is that element —
+        # and bitcast back)
+        ht_i = jax.lax.bitcast_convert_type(ht, jnp.int32)
+        is_k_i = is_k.astype(jnp.int32)
+        pivrow = jax.lax.bitcast_convert_type(
+            jnp.sum(ht_i * is_k_i[:, None, :], axis=2), jnp.uint32
+        )  # [bt, W]
+        pivs = jax.lax.bitcast_convert_type(
+            jnp.sum(jax.lax.bitcast_convert_type(s, jnp.int32) * is_k_i, axis=1),
+            jnp.uint32,
+        )  # [bt]
+        elim = col * (u1 - is_k) * found[:, None]  # [bt, m] 0/1
+        ht_out[:] = jnp.where(elim[:, None, :] > u0, ht ^ pivrow[:, :, None], ht)
+        s_out[:] = jnp.where(elim > u0, s ^ pivs[:, None], s)
+        piv_out[:] = jnp.where(
+            (is_k * found[:, None]) > u0, j, pivcol
+        )
+        return 0
+
+    jax.lax.fori_loop(0, n, trip, 0)
+
+
+def gf2_eliminate_pallas(Ht, s, n, *, batch_tile=8, interpret=False):
+    """Batched Gauss–Jordan RREF of packed columns.
+
+    Args:
+      Ht: ``[B, W, m]`` uint32 — per-lane transposed packed rows (word w
+        of row i at ``[b, w, i]``; see ops/gf2.py::gf2_eliminate).
+      s: ``[B, m]`` uint32 0/1 syndromes, co-transformed.
+      n: static column count.
+      batch_tile: lanes per grid program (their n-trip loops share one
+        instruction stream, amortizing loop overhead).
+
+    Returns ``(Ht' [B, W, m], s' [B, m], pivcol [B, m] int32)`` with
+    ``pivcol[b, i]`` = row i's pivot column or the sentinel ``n``.
+    """
+    B, W, m = Ht.shape
+    m_pad = ((m + 127) // 128) * 128
+    if m_pad != m:
+        # zero rows can never be chosen as pivots (their column bit is 0)
+        Ht = jnp.pad(Ht, ((0, 0), (0, 0), (0, m_pad - m)))
+        s = jnp.pad(s, ((0, 0), (0, m_pad - m)))
+    bt = min(batch_tile, B)
+    while B % bt:
+        bt //= 2
+
+    kern = functools.partial(_elim_kernel, n=int(n), m_pad=int(m_pad))
+    ht2, s2, piv = pl.pallas_call(
+        kern,
+        grid=(B // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, W, m_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, m_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((bt, W, m_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, m_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, m_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, W, m_pad), jnp.uint32),
+            jax.ShapeDtypeStruct((B, m_pad), jnp.uint32),
+            jax.ShapeDtypeStruct((B, m_pad), jnp.int32),
+        ),
+        interpret=interpret,
+    )(Ht.astype(jnp.uint32), s.astype(jnp.uint32))
+    return ht2[:, :, :m], s2[:, :m], piv[:, :m]
