@@ -62,6 +62,22 @@ def test_reference_exact_config_bp_ler():
     assert ler < 0.005, f"LER {ler} vs reference threshold 0.005"
 
 
+def test_reference_exact_config_bp_ler_1000_trials():
+    """The reference's second, tighter oracle on the same config: LER over
+    1000 decodes < 0.001 (test_bp_decoder.jl:51 — sequential there; batch
+    decoding here is tested equivalent in tests/test_bp.py)."""
+    H = lt.parity_check_matrix(1000, 10, 9, rng=42)
+    rng = np.random.default_rng(2)
+    trials = 1000
+    errs = rng.random((trials, 1000)) < 0.01
+    syns = (errs @ H.T) % 2
+    dec = lt.BeliefPropagationDecoder(H, 0.01, 100)
+    guesses, conv = dec.batch_decode(syns)
+    exact = (guesses.astype(bool) == errs).all(axis=1)
+    ler = 1.0 - exact.mean()
+    assert ler < 0.001, f"LER {ler} vs reference threshold 0.001"
+
+
 def test_reference_exact_config_bposd_consistency():
     """Reference oracle: BP+OSD output is syndrome-consistent even at
     per=0.2 on the (1000,10,9) code (test_bposd_decoder.jl:37-47)."""
