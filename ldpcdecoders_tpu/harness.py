@@ -76,11 +76,18 @@ class FERSweep:
         mirroring how the reference constructs decoders with the channel
         prior baked in).
       pers: physical error rates to sweep.
-      batch: syndromes decoded per step.
+      batch: syndromes decoded per step (global across hosts when
+        multi-host).
       checkpoint_path: optional JSON path; progress is saved after every
         batch and picked up on restart.
       seed: base seed; each (point, batch) pair derives its own stream, so
         resumed runs reproduce the uninterrupted run exactly.
+      multihost: shard each step's trials across ``jax.process_count()``
+        processes (SURVEY.md §5's per-host trial sharding): every process
+        decodes a disjoint slice on disjoint RNG streams and the counts
+        are summed with :func:`parallel.multihost.allreduce_counts`; only
+        process 0 writes checkpoints.  Default: auto (on when the process
+        group has more than one member).
     """
 
     def __init__(
@@ -92,12 +99,18 @@ class FERSweep:
         batch: int = 256,
         checkpoint_path: str | None = None,
         seed: int = 0,
+        multihost: bool | None = None,
     ):
         self.H = np.asarray(H.toarray() if hasattr(H, "toarray") else H)
         self.decoder_factory = decoder_factory
         self.batch = int(batch)
         self.checkpoint_path = checkpoint_path
         self.seed = int(seed)
+        if multihost is None:
+            import jax
+
+            multihost = jax.process_count() > 1
+        self.multihost = bool(multihost)
         self.points = {float(p): SweepPoint(per=float(p)) for p in pers}
         if checkpoint_path and os.path.exists(checkpoint_path):
             self._load_checkpoint()
@@ -118,6 +131,11 @@ class FERSweep:
     def _save_checkpoint(self):
         if not self.checkpoint_path:
             return
+        if self.multihost:
+            import jax
+
+            if jax.process_index() != 0:
+                return
         atomic_write_json(
             self.checkpoint_path,
             {
@@ -162,45 +180,74 @@ class FERSweep:
                 # on fresh streams even after a partial final batch
                 step = pt.steps
                 per_hash = int(per * 1e9) & 0x7FFFFFFF
-                rng = np.random.default_rng((self.seed, per_hash, step))
-                # decoder RNG stream derives from (seed, point, step) too —
-                # a plain seed+step would reuse identical tie-break streams
-                # across noise points, correlating stochastic decoders; the
-                # salt keeps it disjoint from the noise-sampling stream
+                b = min(self.batch, trials_per_point - pt.trials)
+                if self.multihost:
+                    import jax
+
+                    P, pid = jax.process_count(), jax.process_index()
+                    # disjoint per-process trial slice of the global batch
+                    b_local = b // P + (1 if pid < b % P else 0)
+                else:
+                    pid, b_local = 0, b
+                # noise + decoder RNG streams derive from
+                # (seed, point, step, process) — the decoder stream gets a
+                # salt so stochastic tie-breaking stays disjoint from (and
+                # uncorrelated with) the injected noise, and a plain
+                # seed+step would reuse identical streams across points
+                rng = np.random.default_rng((self.seed, per_hash, step, pid))
                 decode_seed = int(
                     np.random.default_rng(
-                        (self.seed, per_hash, step, 0xDEC0DE)
+                        (self.seed, per_hash, step, pid, 0xDEC0DE)
                     ).integers(1 << 31)
                 )
-                b = min(self.batch, trials_per_point - pt.trials)
-                errs = sample_errors(rng, b, n, per)
-                syns = syndromes_of(self.H, errs)
                 t0 = time.perf_counter()
-                try:
-                    guesses, conv, iters, aux, _ = decoder.batch_decode_detailed(
-                        syns, seed=decode_seed, **per_kw
-                    )
-                except ValueError:
-                    if not per_kw:
-                        raise
-                    # decoder kind doesn't support prior overrides: fall
-                    # back to one decoder per noise point
-                    per_kw_ok = False
-                    per_kw = {}
-                    decoder = self.decoder_factory(per)
-                    guesses, conv, iters, aux, _ = decoder.batch_decode_detailed(
-                        syns, seed=decode_seed
-                    )
+                if b_local > 0:
+                    errs = sample_errors(rng, b_local, n, per)
+                    syns = syndromes_of(self.H, errs)
+                    try:
+                        guesses, conv, iters, aux, _ = decoder.batch_decode_detailed(
+                            syns, seed=decode_seed, **per_kw
+                        )
+                    except ValueError:
+                        if not per_kw:
+                            raise
+                        # decoder kind doesn't support prior overrides: fall
+                        # back to one decoder per noise point
+                        per_kw_ok = False
+                        per_kw = {}
+                        decoder = self.decoder_factory(per)
+                        guesses, conv, iters, aux, _ = decoder.batch_decode_detailed(
+                            syns, seed=decode_seed
+                        )
+                    exact = (guesses.astype(bool) == errs).all(axis=1)
+                    synhat = syndromes_of(self.H, guesses)
+                    smatch = (synhat == syns).all(axis=1)
+                    counts = {
+                        "trials": b_local,
+                        "exact_failures": int(b_local - exact.sum()),
+                        "syndrome_mismatches": int(b_local - smatch.sum()),
+                        "non_converged": int(b_local - conv.sum()),
+                        "total_iters": int(iters.sum()),
+                    }
+                else:
+                    counts = {
+                        "trials": 0,
+                        "exact_failures": 0,
+                        "syndrome_mismatches": 0,
+                        "non_converged": 0,
+                        "total_iters": 0,
+                    }
                 dt = time.perf_counter() - t0
-                exact = (guesses.astype(bool) == errs).all(axis=1)
-                synhat = syndromes_of(self.H, guesses)
-                smatch = (synhat == syns).all(axis=1)
-                pt.trials += b
+                if self.multihost:
+                    from .parallel.multihost import allreduce_counts, global_mesh
+
+                    counts = allreduce_counts(counts, global_mesh())
+                pt.trials += counts["trials"]
                 pt.steps += 1
-                pt.exact_failures += int(b - exact.sum())
-                pt.syndrome_mismatches += int(b - smatch.sum())
-                pt.non_converged += int(b - conv.sum())
-                pt.total_iters += int(iters.sum())
+                pt.exact_failures += counts["exact_failures"]
+                pt.syndrome_mismatches += counts["syndrome_mismatches"]
+                pt.non_converged += counts["non_converged"]
+                pt.total_iters += counts["total_iters"]
                 pt.wall_seconds += dt
                 self._save_checkpoint()
         return self.summaries()
