@@ -103,6 +103,15 @@ class BitFlipDecoder(Decoder):
     syndrome matched *or* when no bit had a non-negative vote ("nothing
     worth flipping"); decoding is stochastic, so exact outputs depend on
     ``seed``.
+
+    Example:
+
+    >>> import numpy as np
+    >>> from ldpcdecoders_tpu import BitFlipDecoder, repetition_code
+    >>> dec = BitFlipDecoder(repetition_code(3), 0.05, 10)
+    >>> err, converged = dec.decode(np.array([1, 0]), seed=0)
+    >>> err.astype(int).tolist(), converged
+    ([1, 0, 0], True)
     """
 
     converged_implies_syndrome_match = False

@@ -143,6 +143,15 @@ class BeliefPropagationDecoder(Decoder):
       max_iters: maximum BP iterations.
       dtype: message dtype (float32 default; the reference uses float64 on
         CPU, but FER behavior is dtype-robust and f32 is TPU-native).
+
+    Example — correct a single bit error on the length-3 repetition code:
+
+    >>> import numpy as np
+    >>> from ldpcdecoders_tpu import BeliefPropagationDecoder, repetition_code
+    >>> dec = BeliefPropagationDecoder(repetition_code(3), 0.05, 10)
+    >>> err, converged = dec.decode(np.array([1, 0]))
+    >>> err.astype(int).tolist(), converged
+    ([1, 0, 0], True)
     """
 
     def __init__(self, H, per: float, max_iters: int, *, dtype=jnp.float32):

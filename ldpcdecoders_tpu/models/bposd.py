@@ -139,6 +139,15 @@ class BeliefPropagationOSDDecoder(Decoder):
         Measured on TPU v5e, (1000,10,9) code, B=1024, osd_order=2:
         4,206 syndromes/s vs 1,256 for the XLA while_loop form (3.3x;
         9x over the round-1 swap-based elimination).
+
+    Example:
+
+    >>> import numpy as np
+    >>> from ldpcdecoders_tpu import BeliefPropagationOSDDecoder, repetition_code
+    >>> dec = BeliefPropagationOSDDecoder(repetition_code(3), 0.05, 10)
+    >>> err, converged = dec.decode(np.array([1, 0]))
+    >>> err.astype(int).tolist(), converged
+    ([1, 0, 0], True)
     """
 
     def __init__(

@@ -227,6 +227,16 @@ class BPOTSDecoder(Decoder):
 
     Returns the best decision found ranked by (syndrome mismatch count,
     error weight); ``converged`` means a zero-mismatch solution was found.
+
+    Example — decode on a 4-cycle (a classic trapping-set graph):
+
+    >>> import numpy as np
+    >>> from ldpcdecoders_tpu import BPOTSDecoder
+    >>> from ldpcdecoders_tpu.codes import cycle_matrix
+    >>> dec = BPOTSDecoder(cycle_matrix(4), 0.05, 50, T=3, C=2.0)
+    >>> err, converged = dec.decode(np.array([1, 1, 0, 0]))
+    >>> err.astype(int).tolist(), converged
+    ([0, 1, 0, 0], True)
     """
 
     def __init__(self, H, per: float, max_iters: int, *, T: int = 9, C: float = 2.0):

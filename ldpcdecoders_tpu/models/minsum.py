@@ -185,6 +185,15 @@ class MinSumDecoder(Decoder):
       beta: offset subtracted from the magnitude before clamping at 0.
       dtype: message dtype — jnp.bfloat16 is the fastest variant measured
         (3.2e10 edge-iterations/s on v5e vs 2.3e10 f32 / 2.8e10 int8).
+
+    Example:
+
+    >>> import numpy as np
+    >>> from ldpcdecoders_tpu import MinSumDecoder, repetition_code
+    >>> dec = MinSumDecoder(repetition_code(3), 0.05, 10)
+    >>> err, converged = dec.decode(np.array([1, 0]))
+    >>> err.astype(int).tolist(), converged
+    ([1, 0, 0], True)
     """
 
     def __init__(

@@ -14,6 +14,11 @@ def test_doctests():
         "ldpcdecoders_tpu.codes.gallager",
         "ldpcdecoders_tpu.config",
         "ldpcdecoders_tpu.utils.metrics",
+        "ldpcdecoders_tpu.models.bp",
+        "ldpcdecoders_tpu.models.bposd",
+        "ldpcdecoders_tpu.models.bitflip",
+        "ldpcdecoders_tpu.models.bpots",
+        "ldpcdecoders_tpu.models.minsum",
     ):
         mod = importlib.import_module(mod_name)
         results = doctest.testmod(mod)
