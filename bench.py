@@ -73,6 +73,17 @@ def main():
     bp_edge_iters_per_s = B * it_bp * graph.n_edges / dt_bp
     dt_bpr, _, conv_bpr = measure(bp_fn, real_syns)
 
+    # pipelined serving throughput: K batches in flight before the first
+    # host sync — measures device-resident decode rate without paying the
+    # per-call dispatch/transfer latency (the production serving pattern)
+    K = 8
+    out = bp_fn(real_syns)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    outs = [bp_fn(real_syns) for _ in range(K)]
+    jax.block_until_ready(outs[-1])
+    pipelined_syn_per_s = K * B / (time.perf_counter() - t0)
+
     # int8 min-sum production variant
     q_fn = jax.jit(make_minsum_q_decode_fn(graph, per, max_iters))
     dt_q, it_q, _ = measure(q_fn, hard_syns)
@@ -95,6 +106,7 @@ def main():
             "minsum_int8_edge_iters_per_s": round(q_edge_iters_per_s, 1),
             "minsum_bf16_edge_iters_per_s": round(bf_edge_iters_per_s, 1),
             "decoded_syndromes_per_s_sumproduct": round(B / dt_bpr, 1),
+            "decoded_syndromes_per_s_sumproduct_pipelined": round(pipelined_syn_per_s, 1),
             "decoded_syndromes_per_s_minsum_int8": round(B / dt_qr, 1),
             "converged_fraction_real": conv_bpr,
             "batch": B,

@@ -121,7 +121,21 @@ def make_osd_fns(graph: TannerGraph, osd_order: int, *, use_pallas: bool = False
         )(Ht2, s2, piv, r, bp_sorted)
         return jax.vmap(unsort)(perm, corr)
 
-    osd0_batch = jax.jit(jax.vmap(osd0_lane))
+    def osd0_batch_pallas(syndromes, bp_errs, logps):
+        from ..ops.pallas_gf2 import gf2_osd0_pallas
+
+        perm, Hp, bp_sorted = jax.vmap(sort_and_pack)(syndromes, bp_errs, logps)
+        # residual via one MXU matmul (row sums are small ints: exact in f32)
+        hb = jnp.dot(
+            bp_errs.astype(jnp.float32),
+            H_cols.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )  # [B, m]
+        resid = syndromes.astype(jnp.uint32) ^ (hb.astype(jnp.uint32) & jnp.uint32(1))
+        corr = gf2_osd0_pallas(jnp.transpose(Hp, (0, 2, 1)), resid, bp_sorted, n)
+        return jax.vmap(unsort)(perm, corr)
+
+    osd0_batch = jax.jit(osd0_batch_pallas if use_pallas else jax.vmap(osd0_lane))
     osdw_batch = jax.jit(osdw_batch_pallas if use_pallas else jax.vmap(osdw_lane))
     return osd0_batch, osdw_batch
 
@@ -134,11 +148,13 @@ class BeliefPropagationOSDDecoder(Decoder):
       per: physical error rate.
       max_iters: maximum BP iterations.
       osd_order: OSD order w (default 0); the sweep scales as 2^w.
-      use_pallas: run the OSD-w elimination in the VMEM-resident Pallas
-        kernel (default: auto — on for TPU backends; off elsewhere).
-        Measured on TPU v5e, (1000,10,9) code, B=1024, osd_order=2:
-        4,206 syndromes/s vs 1,256 for the XLA while_loop form (3.3x;
-        9x over the round-1 swap-based elimination).
+      use_pallas: run the OSD eliminations in the VMEM-resident Pallas
+        kernels (default: auto — on for TPU backends; off elsewhere).
+        Measured on TPU v5e, (1000,10,9) code, B=1024: osd_order=2 at
+        per=0.01 reaches 4,206 syndromes/s vs 1,256 for the XLA
+        while_loop form (3.3x; 9x over the round-1 swap-based
+        elimination); OSD-0 at per=0.2 (every lane BP-failing) reaches
+        3,304 vs 767 (4.3x).
 
     Example:
 
