@@ -224,6 +224,8 @@ class BPOTSDecoder(Decoder):
       max_iters: maximum BP iterations.
       T: biasing period (default 9, matching bpots_decoder.jl:90).
       C: bias constant (default 2.0).
+      dtype: message dtype (float32 default; jnp.bfloat16 for throughput,
+        jnp.float64 under ``jax.enable_x64`` for golden-trace work).
 
     Returns the best decision found ranked by (syndrome mismatch count,
     error weight); ``converged`` means a zero-mismatch solution was found.
@@ -239,20 +241,32 @@ class BPOTSDecoder(Decoder):
     ([0, 1, 0, 0], True)
     """
 
-    def __init__(self, H, per: float, max_iters: int, *, T: int = 9, C: float = 2.0):
+    def __init__(
+        self,
+        H,
+        per: float,
+        max_iters: int,
+        *,
+        T: int = 9,
+        C: float = 2.0,
+        dtype=jnp.float32,
+    ):
         self.graph = H if isinstance(H, TannerGraph) else TannerGraph.from_pcm(H)
         self.m, self.n = self.graph.m, self.graph.n
         self.per = per if np.ndim(per) else float(per)
         self.max_iters = int(max_iters)
         self.T = int(T)
         self.C = float(C)
+        self.dtype = dtype
         self._decode_fn = jax.jit(
-            make_bpots_decode_fn(self.graph, self.per, self.max_iters, self.T, self.C)
+            make_bpots_decode_fn(
+                self.graph, self.per, self.max_iters, self.T, self.C, dtype=dtype
+            )
         )
 
     def _decode_batch(self, syndromes, seed: int = 0, per=None):
         pi = None
         if per is not None:
-            pi = jnp.asarray(per_to_depolarizing_llr(per, self.n), jnp.float32)
+            pi = jnp.asarray(per_to_depolarizing_llr(per, self.n), self.dtype)
         err, converged, iters, llrs = self._decode_fn(jnp.asarray(syndromes), pi)
         return err, converged, iters, {"llrs": llrs}

@@ -157,6 +157,26 @@ def _make_check_sharded_fn(
     chk_mask[:m] = graph.chk_mask
     L0 = dtype(np.log((1.0 - per) / per))
 
+    # Per-shard var-major local adjacency: for every variable, the flat
+    # indices of its edges *within this shard's* [m_loc, max_dc] message
+    # block.  The per-variable partial sums then run as masked gathers
+    # (the framework's fast path) instead of a scatter-add, which
+    # measured ~40x slower on v5e.
+    m_loc = m_pad // D
+    flat = graph.v2c_gather.astype(np.int64)  # [n, max_dv] into [m*max_dc]
+    vmask = graph.var_mask
+    shard_of = np.where(vmask, (flat // max_dc) // m_loc, -1)
+    v2c_loc = np.zeros((D, n, max_dv), np.int32)
+    vmask_loc = np.zeros((D, n, max_dv), bool)
+    for d in range(D):
+        sel = vmask & (shard_of == d)
+        rank = np.cumsum(sel, axis=1) - 1
+        rows, cols = np.nonzero(sel)
+        v2c_loc[d, rows, rank[rows, cols]] = (
+            flat[rows, cols] - d * m_loc * max_dc
+        ).astype(np.int32)
+        vmask_loc[d, rows, rank[rows, cols]] = True
+
     def local_iter(mu, total, syn_sign_loc, cv_loc, cm_loc):
         """One BP iteration on this shard's checks; returns new local mu."""
         # nu_{j->i} = total_j - mu_{i->j}, gathered for local checks
@@ -164,10 +184,12 @@ def _make_check_sharded_fn(
         nu = Tg - mu
         return rule(nu, cm_loc, syn_sign_loc)
 
-    def spmd_body(syn, cv_loc, cm_loc):
+    def spmd_body(syn, cv_loc, cm_loc, vl_loc, vm_loc):
         """Runs per-shard: syn [B_loc, m_loc]; constants are local slices."""
         B = syn.shape[0]
         m_loc = syn.shape[1]
+        vl = vl_loc[0]  # [n, max_dv] local var-major gather indices
+        vm = vm_loc[0]  # [n, max_dv] validity
         syn_sign = (1.0 - 2.0 * syn.astype(jnp.float32)).astype(dtype)
         syn_i = syn.astype(jnp.int32)
 
@@ -189,11 +211,12 @@ def _make_check_sharded_fn(
         def body(st):
             mu, total, err, done, it, iters, _ = st
             mu_new = local_iter(mu, total, syn_sign, cv_loc, cm_loc)
-            # partial per-variable sums -> psum over the model axis
-            contrib = jnp.where(cm_loc, mu_new, 0.0)
-            partial = jnp.zeros((B, n), dtype).at[
-                jnp.arange(B)[:, None, None], cv_loc[None, :, :]
-            ].add(contrib)
+            # partial per-variable sums via the local var-major gather
+            # (scatter-add here measured ~40x slower), then one psum
+            # over the model axis
+            g = jnp.take(mu_new.reshape(B, m_loc * max_dc), vl.reshape(-1), axis=1)
+            g = g.reshape(B, n, max_dv)
+            partial = jnp.sum(jnp.where(vm[None], g, dtype(0.0)), axis=-1)
             sum_mu = jax.lax.psum(partial, axis_name=model_axis)
             total_new = L0 + sum_mu
             err_new = (total_new < 0).astype(jnp.float32)
@@ -233,6 +256,8 @@ def _make_check_sharded_fn(
             P(data_axis, model_axis),  # syndromes [B, m_pad]
             P(model_axis, None),  # chk_vars
             P(model_axis, None),  # chk_mask
+            P(model_axis, None, None),  # per-shard var-major gather
+            P(model_axis, None, None),  # per-shard var-major mask
         ),
         out_specs=(spec_data, P(data_axis), P(data_axis)),
         check_vma=False,
@@ -240,6 +265,8 @@ def _make_check_sharded_fn(
 
     cv_c = jnp.asarray(chk_vars)
     cm_c = jnp.asarray(chk_mask)
+    vl_c = jnp.asarray(v2c_loc)
+    vm_c = jnp.asarray(vmask_loc)
 
     d_data = mesh.shape[data_axis]
 
@@ -252,7 +279,7 @@ def _make_check_sharded_fn(
                 f"batch {B} must divide the '{data_axis}' mesh size {d_data}"
             )
         syn_pad = jnp.zeros((B, m_pad), syndromes.dtype).at[:, :m].set(syndromes)
-        return mapped(syn_pad, cv_c, cm_c)
+        return mapped(syn_pad, cv_c, cm_c, vl_c, vm_c)
 
     return decode
 
