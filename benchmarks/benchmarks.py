@@ -21,6 +21,7 @@ import numpy as np
 
 def run(batch: int = 1024, profile_dir: str | None = None):
     import jax
+    import jax.numpy as jnp
 
     sys.path.insert(0, ".")
     import ldpcdecoders_tpu as lt
@@ -60,15 +61,30 @@ def run(batch: int = 1024, profile_dir: str | None = None):
             lat_ms = (time.perf_counter() - t0) / reps * 1e3
 
             dec.batch_decode(synB)  # compile B=batch
+            best = 0.0
+            for _ in range(3):
+                t0 = time.perf_counter()
+                _, conv = dec.batch_decode(synB)
+                best = max(best, batch / (time.perf_counter() - t0))
+            # pipelined: K batches in flight before the host sync — the
+            # per-call dispatch latency (~60 ms over the axon tunnel)
+            # otherwise floors every decoder at the same number
+            K = 4
             t0 = time.perf_counter()
-            _, conv = dec.batch_decode(synB)
-            thr = batch / (time.perf_counter() - t0)
+            outs = [dec._decode_batch(jnp.asarray(synB)) for _ in range(K)]
+            jax.block_until_ready(outs[-1][0])
+            piped = K * batch / (time.perf_counter() - t0)
             results[name] = {
                 "single_decode_ms": round(lat_ms, 3),
-                "batched_syndromes_per_s": round(thr, 1),
+                "batched_syndromes_per_s": round(best, 1),
+                "pipelined_syndromes_per_s": round(piped, 1),
                 "converged_fraction": float(np.mean(conv)),
             }
-            print(f"{name}: {lat_ms:.2f} ms/decode, {thr:.0f} syndromes/s", file=sys.stderr)
+            print(
+                f"{name}: {lat_ms:.2f} ms/decode, {best:.0f} syndromes/s "
+                f"({piped:.0f} pipelined)",
+                file=sys.stderr,
+            )
 
     out = {"config": {"code": "(1000,10,9)", "per": per, "max_iters": max_iters, "batch": batch},
            "cases": results, "device": str(jax.devices()[0])}

@@ -40,6 +40,29 @@ def test_cli_bench(capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out)
     assert out["syndromes_per_s"] > 0
+    # median-of-N methodology with dispersion (advisor finding: a single
+    # timed call is dispatch-noise-bound)
+    assert out["reps"] == 5
+    assert out["time_min_ms"] <= out["time_median_ms"] <= out["time_max_ms"]
+    assert out["spread_pct"] >= 0
+    assert 0 <= out["converged_fraction"] <= 1
+    assert out["mean_iters"] > 0
+
+
+def test_cli_bench_layered(capsys):
+    rc = main(
+        [
+            "bench",
+            "--code", "gallager:120,6,3",
+            "--decoder", "layered_minsum",
+            "--batch", "32",
+            "--max-iters", "20",
+            "--reps", "2",
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["decoder"] == "layered_minsum" and out["reps"] == 2
 
 
 def test_cli_rejects_unknown_decoder():
