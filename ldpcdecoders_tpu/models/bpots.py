@@ -156,16 +156,42 @@ def make_bpots_decode_fn(
             iters = jnp.where(newly, it + 1, s["iters"])
             done = s["done"] | newly
 
-            # OTS biasing every T iterations with nonzero mismatch
-            bias_lane = active & ~newly & (mis > 0) & ((it + 1) % T == 0)
-            absllr = jnp.abs(llrs)
-            j1, j2, has_osc = select_bias_nodes(osc, absllr)
-            oh1 = jax.nn.one_hot(j1, n, dtype=bool)
-            oh2 = jax.nn.one_hot(j2, n, dtype=bool)
-            apply_b = (bias_lane & has_osc)[:, None]
-            Omega_biased = jnp.where((oh1 | oh2) & apply_b, -C, pi_val)
-            Omega = jnp.where(bias_lane[:, None], Omega_biased, s["Omega"])
-            osc_post = jnp.where(oh1 & apply_b, 0, osc)
+            # OTS biasing every T iterations with nonzero mismatch.  The
+            # iteration counter is a batch-wide scalar, so the selection
+            # work (two argmin reductions + two one-hots) is lax.cond-
+            # gated: T-1 of every T iterations skip it entirely.
+            def do_bias(operand):
+                osc, llrs, Omega_prev, active, newly, mis = operand
+                bias_lane = active & ~newly & (mis > 0)
+                absllr = jnp.abs(llrs)
+                j1, j2, has_osc = select_bias_nodes(osc, absllr)
+                oh1 = jax.nn.one_hot(j1, n, dtype=bool)
+                oh2 = jax.nn.one_hot(j2, n, dtype=bool)
+                apply_b = (bias_lane & has_osc)[:, None]
+                Omega_biased = jnp.where((oh1 | oh2) & apply_b, -C, pi_val)
+                Omega = jnp.where(bias_lane[:, None], Omega_biased, Omega_prev)
+                osc_post = jnp.where(oh1 & apply_b, 0, osc)
+                # int32 regardless of x64 mode, matching the other branch
+                return (
+                    Omega,
+                    osc_post,
+                    j1.astype(jnp.int32),
+                    j2.astype(jnp.int32),
+                    bias_lane & has_osc,
+                )
+
+            def no_bias(operand):
+                osc, llrs, Omega_prev, active, newly, mis = operand
+                B = osc.shape[0]
+                zj = jnp.zeros((B,), jnp.int32)
+                return Omega_prev, osc, zj, zj, jnp.zeros((B,), bool)
+
+            Omega, osc_post, j1, j2, biased = jax.lax.cond(
+                (it + 1) % T == 0,
+                do_bias,
+                no_bias,
+                (osc, llrs, s["Omega"], active, newly, mis),
+            )
 
             record = dict(
                 dec=dec,
@@ -177,7 +203,7 @@ def make_bpots_decode_fn(
                 llrs=llrs,
                 j1=j1,
                 j2=j2,
-                biased=bias_lane & has_osc,
+                biased=biased,
                 active=active,
             )
 

@@ -50,18 +50,28 @@ class CSSDecoder:
         validate_css: bool | None = None,
         **knobs,
     ):
-        Hx = np.asarray(Hx)
-        Hz = np.asarray(Hz)
+        sparse_in = hasattr(Hx, "tocsr") or hasattr(Hz, "tocsr")
+        if not sparse_in:
+            Hx = np.asarray(Hx)
+            Hz = np.asarray(Hz)
         if Hx.shape[1] != Hz.shape[1]:
             raise ValueError(
                 f"Hx and Hz must act on the same qubits: {Hx.shape[1]} != {Hz.shape[1]}"
             )
         ops = Hx.shape[0] * Hz.shape[0] * Hx.shape[1]
         if validate_css is None:
-            validate_css = ops <= _VALIDATE_MAX_OPS
+            validate_css = ops <= _VALIDATE_MAX_OPS or sparse_in
         if validate_css:
-            prod = (Hx.astype(np.uint8) @ Hz.astype(np.uint8).T) & 1
-            if prod.any():
+            if sparse_in:
+                import scipy.sparse as sp
+
+                prod = (sp.csr_matrix(Hx).astype(np.int64)
+                        @ sp.csr_matrix(Hz).astype(np.int64).T)
+                violated = bool((prod.data % 2 != 0).any())
+            else:
+                prod = (Hx.astype(np.uint8) @ Hz.astype(np.uint8).T) & 1
+                violated = bool(prod.any())
+            if violated:
                 raise ValueError("CSS condition violated: Hx @ Hz^T != 0 (mod 2)")
 
         self.n = int(Hx.shape[1])

@@ -58,6 +58,27 @@ def test_from_pcm_huge_sparse_skips_dense():
     assert g.n_edges == m
 
 
+def test_css_decoder_accepts_sparse():
+    from ldpcdecoders_tpu import CSSDecoder, toric_code_x, toric_code_z
+
+    Hx, Hz = toric_code_x(3), toric_code_z(3)
+    css = CSSDecoder(sp.csr_matrix(Hx), sp.csr_matrix(Hz), 0.02, 30)
+    rng = np.random.default_rng(9)
+    errz = (rng.random((4, Hx.shape[1])) < 0.03).astype(np.int8)
+    errx = (rng.random((4, Hz.shape[1])) < 0.03).astype(np.int8)
+    syn_x = (errz @ Hx.T) % 2
+    syn_z = (errx @ Hz.T) % 2
+    z_err, x_err, zc, xc = css.batch_decode(syn_x, syn_z)
+    assert ((z_err.astype(int) @ Hx.T) % 2 == syn_x).all()
+    assert ((x_err.astype(int) @ Hz.T) % 2 == syn_z).all()
+    # sparse CSS-condition validation still fires on violation: a single-
+    # qubit Z-check anticommutes with any X-stabilizer touching that qubit
+    bad_np = np.zeros((1, Hx.shape[1]), np.int8)
+    bad_np[0, 0] = 1
+    with pytest.raises(ValueError):
+        CSSDecoder(sp.csr_matrix(Hx), sp.csr_matrix(bad_np), 0.02, 10)
+
+
 @pytest.mark.parametrize(
     "ctor",
     [
