@@ -111,3 +111,23 @@ def test_bp_batch_matches_sequential(medium_code):
         s_err, s_conv = dec.decode(syns[i])
         assert np.array_equal(b_err[i], s_err)
         assert bool(b_conv[i]) == s_conv
+
+
+def test_bp_batch_decode_async_matches_sync(medium_code):
+    """The device-resident async path returns identical results to the
+    synchronous API (it is the same program minus the host transfer)."""
+    H = medium_code
+    rng = np.random.default_rng(8)
+    errs = rng.random((5, H.shape[1])) < 0.02
+    syns = (errs @ H.T) % 2
+    dec = lt.BeliefPropagationDecoder(H, 0.02, 30)
+    e_sync, c_sync = dec.batch_decode(syns)
+    # queue several dispatches before reading any result
+    handles = [dec.batch_decode_async(syns) for _ in range(3)]
+    for e_dev, c_dev in handles:
+        assert np.array_equal(e_sync, np.asarray(e_dev))
+        assert np.array_equal(c_sync, np.asarray(c_dev))
+    import pytest
+
+    with pytest.raises(ValueError):
+        dec.batch_decode_async(np.zeros((2, 7), np.uint8))
