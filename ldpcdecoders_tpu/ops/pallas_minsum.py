@@ -30,6 +30,11 @@ The kernels therefore stay **opt-in**: they become interesting for
 codes whose per-tile message state approaches VMEM capacity, and they
 are the scaffolding for a future fully-VMEM-resident decode once Mosaic
 gains an arbitrary-gather primitive.
+
+Where Pallas *does* win in this framework is the serial-loop-bound OSD
+elimination (ops/pallas_gf2.py: 3.3x over XLA on TPU v5e, on by
+default) — kernels pay off where XLA's HBM-round-trip-per-trip loop
+structure, not its fusion, is the bottleneck.
 """
 
 from __future__ import annotations
