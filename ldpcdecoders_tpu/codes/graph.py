@@ -197,7 +197,11 @@ class TannerGraph:
             becomes the bottleneck).
         """
         if hasattr(H, "tocoo"):  # scipy.sparse (any format), duck-typed
-            coo = H.tocoo()
+            coo = H.tocoo().astype(np.int64)
+            # duplicate (row, col) entries are legal scipy COO input whose
+            # values are defined to sum; fold them so a dup-laden COO builds
+            # the same graph as its tocsr()/dense form (entry != 0 -> edge)
+            coo.sum_duplicates()
             m_s, n_s = coo.shape
             keep = np.asarray(coo.data) != 0
             rows = np.asarray(coo.row)[keep]

@@ -101,16 +101,17 @@ class FERSweep:
         seed: int = 0,
         multihost: bool | None = None,
     ):
-        self.H = np.asarray(H.toarray() if hasattr(H, "toarray") else H)
+        # keep scipy.sparse H as-is: syndromes_of handles it natively, and
+        # densifying a from_edges-scale code here would allocate gigabytes
+        self.H = H if hasattr(H, "toarray") else np.asarray(H)
         self.decoder_factory = decoder_factory
         self.batch = int(batch)
         self.checkpoint_path = checkpoint_path
         self.seed = int(seed)
-        if multihost is None:
-            import jax
-
-            multihost = jax.process_count() > 1
-        self.multihost = bool(multihost)
+        # multihost auto-detection is deferred to run(): jax.process_count()
+        # initializes the JAX backend, which must not happen before the user
+        # has had a chance to call initialize_multihost()
+        self.multihost: bool | None = None if multihost is None else bool(multihost)
         self.points = {float(p): SweepPoint(per=float(p)) for p in pers}
         if checkpoint_path and os.path.exists(checkpoint_path):
             self._load_checkpoint()
@@ -145,6 +146,37 @@ class FERSweep:
             },
         )
 
+    def _sync_points_from_host0(self):
+        from .parallel.multihost import broadcast_from_host0
+
+        pers = sorted(self.points)
+        state = np.asarray(
+            [
+                [
+                    pt.trials,
+                    pt.steps,
+                    pt.exact_failures,
+                    pt.syndrome_mismatches,
+                    pt.non_converged,
+                    pt.total_iters,
+                    pt.wall_seconds,
+                ]
+                for pt in (self.points[p] for p in pers)
+            ],
+            dtype=np.float64,
+        )
+        for p, row in zip(pers, broadcast_from_host0(state)):
+            self.points[p] = SweepPoint(
+                per=p,
+                trials=int(row[0]),
+                steps=int(row[1]),
+                exact_failures=int(row[2]),
+                syndrome_mismatches=int(row[3]),
+                non_converged=int(row[4]),
+                total_iters=int(row[5]),
+                wall_seconds=float(row[6]),
+            )
+
     # -- running ----------------------------------------------------------
 
     def run(self, *, trials_per_point: int, max_seconds: float | None = None):
@@ -153,6 +185,15 @@ class FERSweep:
         Returns ``{per: summary_dict}``.  Safe to interrupt and re-run.
         """
         t_start = time.perf_counter()
+        if self.multihost is None:
+            import jax
+
+            self.multihost = jax.process_count() > 1
+        if self.multihost:
+            # only process 0 writes checkpoints, so on a non-shared
+            # filesystem only its loaded state is authoritative: adopt it
+            # everywhere before any trial accounting happens
+            self._sync_points_from_host0()
         n = self.H.shape[1]
         shared_decoder = None  # one compiled program reused across noise
         # points when the decoder supports per-call prior overrides
@@ -161,9 +202,21 @@ class FERSweep:
             decoder = None
             per_kw = {}
             while pt.trials < trials_per_point:
-                if max_seconds is not None and time.perf_counter() - t_start > max_seconds:
-                    self._save_checkpoint()
-                    return self.summaries()
+                if max_seconds is not None:
+                    stop = time.perf_counter() - t_start > max_seconds
+                    if self.multihost:
+                        # collective vote: local clocks diverge across
+                        # processes, and a one-sided return would leave the
+                        # survivors hanging in the next allgather
+                        from .parallel.multihost import allreduce_counts, global_mesh
+
+                        stop = (
+                            allreduce_counts({"stop": int(stop)}, global_mesh())["stop"]
+                            > 0
+                        )
+                    if stop:
+                        self._save_checkpoint()
+                        return self.summaries()
                 if decoder is None:
                     if shared_decoder is not None and per_kw_ok:
                         decoder = shared_decoder

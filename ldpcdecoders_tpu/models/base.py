@@ -114,6 +114,10 @@ class Decoder:
         orchestration (OSD-0's failing-lane compaction, BucketedDecoder
         chunking) synchronize internally and gain nothing.
         """
+        if not hasattr(syndromes, "ndim"):
+            # lists/tuples are accepted like batch_decode; device arrays are
+            # deliberately NOT np.asarray'd — that would block on transfer
+            syndromes = np.asarray(syndromes)
         if syndromes.ndim != 2 or syndromes.shape[1] != self.m:
             raise ValueError(
                 f"expected syndromes of shape [B, {self.m}], got {syndromes.shape}"

@@ -50,10 +50,13 @@ class CSSDecoder:
         validate_css: bool | None = None,
         **knobs,
     ):
-        sparse_in = hasattr(Hx, "tocsr") or hasattr(Hz, "tocsr")
-        if not sparse_in:
+        # convert each block independently so a mixed call (one block
+        # scipy.sparse, the other a plain list) still works
+        if not hasattr(Hx, "tocsr"):
             Hx = np.asarray(Hx)
+        if not hasattr(Hz, "tocsr"):
             Hz = np.asarray(Hz)
+        sparse_in = hasattr(Hx, "tocsr") or hasattr(Hz, "tocsr")
         if Hx.shape[1] != Hz.shape[1]:
             raise ValueError(
                 f"Hx and Hz must act on the same qubits: {Hx.shape[1]} != {Hz.shape[1]}"

@@ -46,7 +46,7 @@ def _elim_kernel(ht_in, s_in, ht_out, s_out, piv_out, *, n, m_pad):
     s_out[:] = s_in[:]
     piv_out[:] = jnp.full((bt, m_pad), n, jnp.int32)
 
-    def trip(j, r):
+    def trip(j, _):
         w = j >> 5
         bit = (j & 31).astype(jnp.uint32)
         word = ht_out[:, pl.ds(w, 1), :][:, 0, :]  # [bt, m]
@@ -80,14 +80,14 @@ def _elim_kernel(ht_in, s_in, ht_out, s_out, piv_out, *, n, m_pad):
         piv_out[:] = jnp.where(
             (is_k * found[:, None]) > u0, j, pivcol
         )
-        return r + found.astype(jnp.int32)
+        return 0
 
     # static fori over all n columns.  A while_loop with early exit at
     # rank exhaustion was measured SLOWER on v5e (osd2 4,202 vs 4,206/s —
     # a wash; osd0 2,467 vs 3,304/s — a clear loss): Mosaic pipelines a
     # static trip count far better than a data-dependent loop, and the
     # per-trip cond reduction costs more than the ~9% of trips it skips.
-    jax.lax.fori_loop(0, n, trip, jnp.zeros((bt,), jnp.int32))
+    jax.lax.fori_loop(0, n, trip, 0)
 
 
 def _osd0_kernel(ht_in, s_in, bp_ref, ht_out, s_out, piv_out, *, n, m_pad, n_pad):

@@ -13,7 +13,12 @@ import numpy as np
 import jax
 from jax.sharding import Mesh
 
-__all__ = ["initialize_multihost", "global_mesh", "allreduce_counts"]
+__all__ = [
+    "initialize_multihost",
+    "global_mesh",
+    "allreduce_counts",
+    "broadcast_from_host0",
+]
 
 
 def initialize_multihost(coordinator: str | None = None, num_processes: int | None = None, process_id: int | None = None):
@@ -61,3 +66,17 @@ def allreduce_counts(local_counts: dict, mesh: Mesh) -> dict:
         gathered = multihost_utils.process_allgather(vec)  # [procs, k]
         out = np.asarray(gathered).sum(axis=0)
     return {k: int(round(float(v))) for k, v in zip(keys, out)}
+
+
+def broadcast_from_host0(vec: np.ndarray) -> np.ndarray:
+    """Replace every process's array with process 0's copy.
+
+    Used to synchronize resumed FER-sweep state when checkpoints live on
+    a non-shared filesystem: only process 0 writes them, so only process
+    0's loaded state is authoritative.  Single-process: identity.
+    """
+    if jax.process_count() == 1:
+        return np.asarray(vec)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.broadcast_one_to_all(np.asarray(vec)))

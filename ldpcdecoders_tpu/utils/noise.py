@@ -20,9 +20,17 @@ def sample_errors(rng, batch: int, n: int, per: float) -> np.ndarray:
     return rng.random((batch, n)) < per
 
 
-def syndromes_of(H: np.ndarray, errors: np.ndarray) -> np.ndarray:
-    """``[B, m]`` syndromes of a 0/1 error batch (host, exact GF(2))."""
-    return (errors.astype(np.int64) @ np.asarray(H).astype(np.int64).T) % 2
+def syndromes_of(H, errors: np.ndarray) -> np.ndarray:
+    """``[B, m]`` syndromes of a 0/1 error batch (host, exact GF(2)).
+
+    Accepts dense arrays or scipy.sparse matrices; sparse H is used
+    directly (no densification), so million-qubit from_edges-scale codes
+    stay within memory.
+    """
+    e = np.asarray(errors).astype(np.int64)
+    if hasattr(H, "tocsr"):
+        return np.asarray(e @ H.tocsr().astype(np.int64).T) % 2
+    return (e @ np.asarray(H).astype(np.int64).T) % 2
 
 
 def sample_errors_device(key, batch: int, n: int, per: float):

@@ -131,3 +131,7 @@ def test_bp_batch_decode_async_matches_sync(medium_code):
 
     with pytest.raises(ValueError):
         dec.batch_decode_async(np.zeros((2, 7), np.uint8))
+    # plain nested lists are accepted, matching batch_decode
+    e_list, c_list = dec.batch_decode_async(syns.tolist())
+    assert np.array_equal(e_sync, np.asarray(e_list))
+    assert np.array_equal(c_sync, np.asarray(c_list))

@@ -75,6 +75,32 @@ def test_fer_sweep_resume_matches_uninterrupted(tmp_path):
     assert out_res[0.02]["syndrome_match_rate"] == out_full[0.02]["syndrome_match_rate"]
 
 
+def test_fer_sweep_keeps_sparse_H_sparse():
+    """A scipy.sparse H must run without densification (large-code path)
+    and produce the exact counts of the dense run on the same streams."""
+    import scipy.sparse as sp
+
+    H = lt.parity_check_matrix(120, 6, 3, rng=7)
+    factory = lambda per: lt.BeliefPropagationDecoder(H, per, 30)
+    dense = FERSweep(H, factory, pers=[0.02], batch=16, seed=11)
+    sparse = FERSweep(sp.csr_matrix(H), factory, pers=[0.02], batch=16, seed=11)
+    assert hasattr(sparse.H, "tocsr")  # stayed sparse
+    out_d = dense.run(trials_per_point=32)
+    out_s = sparse.run(trials_per_point=32)
+    assert out_d[0.02]["ler"] == out_s[0.02]["ler"]
+    assert out_d[0.02]["syndrome_match_rate"] == out_s[0.02]["syndrome_match_rate"]
+
+
+def test_fer_sweep_defers_multihost_detection():
+    """__init__ must not touch the JAX backend; auto-detection happens at
+    run() so initialize_multihost() can still be called in between."""
+    H = lt.parity_check_matrix(60, 6, 3, rng=8)
+    sweep = FERSweep(H, lambda per: lt.BitFlipDecoder(H, per, 10), pers=[0.01])
+    assert sweep.multihost is None  # unresolved until run()
+    sweep.run(trials_per_point=8)
+    assert sweep.multihost is False
+
+
 def test_fer_sweep_rejects_mismatched_checkpoint(tmp_path):
     H = lt.parity_check_matrix(120, 6, 3, rng=5)
     factory = lambda per: lt.BeliefPropagationDecoder(H, per, 10)

@@ -33,8 +33,11 @@ sweep = FERSweep(
     H, lambda per: lt.BeliefPropagationDecoder(H, per, 20), [0.05],
     batch=16, seed=3,
 )
-assert sweep.multihost  # auto-detected from the process group
-res = sweep.run(trials_per_point=40)
+assert sweep.multihost is None  # detection is deferred past __init__
+# max_seconds exercises the collective stop vote (local clocks diverge
+# across processes, so the cutoff must be agreed on, not decided locally)
+res = sweep.run(trials_per_point=40, max_seconds=300.0)
+assert sweep.multihost is True  # auto-detected from the process group at run()
 print("RESULT " + json.dumps({"pid": pid, "red": red, "sweep": res[0.05]}))
 """
 

@@ -58,6 +58,29 @@ def test_from_pcm_huge_sparse_skips_dense():
     assert g.n_edges == m
 
 
+def test_from_pcm_coo_duplicates_summed():
+    # duplicate (row, col) COO entries are legal scipy input whose values
+    # sum; the graph must match the tocsr()/dense form of the same matrix
+    H = cycle_matrix(6)
+    r, c = np.nonzero(H)
+    rows = np.concatenate([r, r[:1]])  # repeat one edge -> value 2
+    cols = np.concatenate([c, c[:1]])
+    Hs = sp.coo_matrix((np.ones(len(rows), np.int8), (rows, cols)), shape=H.shape)
+    g = TannerGraph.from_pcm(Hs)
+    _graph_eq(g, TannerGraph.from_pcm(H))
+
+
+def test_css_decoder_accepts_mixed_sparse_and_list():
+    from ldpcdecoders_tpu import CSSDecoder, toric_code_x, toric_code_z
+
+    Hx, Hz = toric_code_x(3), toric_code_z(3)
+    css = CSSDecoder(sp.csr_matrix(Hx), Hz.tolist(), 0.02, 30)
+    syn_x = np.zeros((2, Hx.shape[0]), np.int8)
+    syn_z = np.zeros((2, Hz.shape[0]), np.int8)
+    z_err, x_err, zc, xc = css.batch_decode(syn_x, syn_z)
+    assert zc.all() and xc.all()
+
+
 def test_css_decoder_accepts_sparse():
     from ldpcdecoders_tpu import CSSDecoder, toric_code_x, toric_code_z
 
