@@ -1,9 +1,10 @@
 """Persistent XLA compilation cache helper.
 
 Over the remote-compile TPU tunnel a single decoder program costs minutes
-to compile; the persistent cache amortizes this across processes.  Not
-enabled implicitly — call :func:`enable_compilation_cache` early (before
-the first jit), as bench.py and the CLI do.
+to compile; the persistent cache amortizes this across processes.
+Decoder constructors enable it automatically on first use (opt out with
+``LDPC_JAX_CACHE=off``); :func:`enable_compilation_cache` remains the
+explicit entry point for a custom directory.
 """
 
 from __future__ import annotations
@@ -11,6 +12,32 @@ from __future__ import annotations
 import os
 
 __all__ = ["enable_compilation_cache"]
+
+_configured = False
+
+
+def ensure_default_cache() -> None:
+    """Idempotently enable the persistent cache with default settings.
+
+    Called from decoder constructors so every user benefits from cached
+    TPU compiles without extra setup.  Skipped when ``LDPC_JAX_CACHE`` is
+    ``0``/``off``/``none`` or when the application already configured
+    ``jax_compilation_cache_dir`` itself.
+    """
+    global _configured
+    if _configured:
+        return
+    _configured = True
+    if os.environ.get("LDPC_JAX_CACHE", "").lower() in ("0", "off", "none"):
+        return
+    try:
+        import jax
+
+        if getattr(jax.config, "jax_compilation_cache_dir", None):
+            return  # respect an application-level configuration
+    except Exception:
+        return
+    enable_compilation_cache()
 
 
 def enable_compilation_cache(cache_dir: str | None = None) -> str | None:

@@ -19,6 +19,8 @@ import dataclasses
 
 import numpy as np
 
+from ..cache import ensure_default_cache
+
 __all__ = ["Decoder", "DecodeStats", "decode", "batchdecode"]
 
 
@@ -68,6 +70,10 @@ class Decoder:
         raise NotImplementedError
 
     def _call_decode(self, syndromes, seed, per):
+        # first-use hook: enable the persistent XLA compile cache (a TPU
+        # decoder program costs minutes over the remote-compile tunnel);
+        # idempotent bool-guarded no-op after the first call
+        ensure_default_cache()
         if per is None:
             return self._decode_batch(syndromes, seed)
         if not self.supports_per_override:

@@ -64,3 +64,17 @@ def test_top_level_api_surface():
     ]
     for name in expected:
         assert hasattr(ldpcdecoders_tpu, name), name
+
+
+def test_default_cache_hook(monkeypatch):
+    """Decoder use auto-enables the persistent compile cache exactly once,
+    and LDPC_JAX_CACHE=off opts out."""
+    from ldpcdecoders_tpu import cache
+
+    calls = []
+    monkeypatch.setattr(cache, "enable_compilation_cache", lambda *a: calls.append(1))
+    monkeypatch.setattr(cache, "_configured", False)
+    monkeypatch.setenv("LDPC_JAX_CACHE", "off")
+    cache.ensure_default_cache()
+    assert not calls  # opted out
+    assert cache._configured  # but still latched (no re-check per decode)
