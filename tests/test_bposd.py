@@ -84,7 +84,7 @@ def test_osd0_matches_golden_exactly(code):
         assert np.array_equal(guesses[b].astype(bool), g), f"lane {b}"
 
 
-@pytest.mark.parametrize("order", [1, 2, 3])
+@pytest.mark.parametrize("order", [1, 2, 3, 7, 10])
 def test_osdw_matches_golden_exactly(order):
     H = lt.parity_check_matrix(60, 6, 3, rng=19)
     rng = np.random.default_rng(6)
