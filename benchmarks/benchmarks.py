@@ -38,6 +38,9 @@ def run(batch: int = 1024, profile_dir: str | None = None):
     cases = {
         "bposd/decode_osd0": lt.BeliefPropagationOSDDecoder(H, per, max_iters),
         "bposd/decode_osd2": lt.BeliefPropagationOSDDecoder(H, per, max_iters, osd_order=2),
+        "bposd/decode_osd0_fused": lt.BeliefPropagationOSDDecoder(
+            H, per, max_iters, fused=True
+        ),
         "bp/decode": lt.BeliefPropagationDecoder(H, per, max_iters),
         "bitflip/decode": lt.BitFlipDecoder(H, per, max_iters),
         "bpots/decode": lt.BPOTSDecoder(H, per, max_iters, T=9, C=2.0),

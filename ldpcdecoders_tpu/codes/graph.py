@@ -121,27 +121,34 @@ class TannerGraph:
         if rows.size and (rows.min() < 0 or rows.max() >= m or cols.min() < 0 or cols.max() >= n):
             raise ValueError("edge indices out of range")
         E = rows.size
+        arange_E = np.arange(E, dtype=np.int64)
 
-        def group_ranks(sorted_ids):
-            idx = np.arange(len(sorted_ids), dtype=np.int64)
-            if len(sorted_ids) == 0:
-                return idx
-            starts = np.zeros(len(sorted_ids), np.int64)
-            firsts = np.r_[0, np.flatnonzero(np.diff(sorted_ids)) + 1]
-            starts[firsts] = firsts
-            return idx - np.maximum.accumulate(starts)
-
-        order_c = np.lexsort((cols, rows))  # check-major (i, then j)
-        rc, cc = rows[order_c], cols[order_c]
-        slot_c_sorted = group_ranks(rc)
-        order_v = np.lexsort((rows, cols))  # var-major (j, then i)
-        rv, cv = rows[order_v], cols[order_v]
-        slot_v_sorted = group_ranks(cv)
+        def slot_starts(deg):
+            # slot of each sorted edge within its node group: arange minus
+            # the (repeated) group start offset
+            return np.repeat(np.cumsum(deg) - deg, deg)
 
         chk_deg = np.bincount(rows, minlength=m)
         var_deg = np.bincount(cols, minlength=n)
-        if E and (np.diff(np.stack([rc, cc]), axis=1) == 0).all(axis=0).any():
+        # a single fused int64 sort key beats a two-key lexsort ~10x at
+        # millions of edges; duplicate edges are adjacent equal keys
+        if E and m * n < 2**62:  # Python ints: no overflow in the guard
+            key_c = rows * n + cols
+            order_c = np.argsort(key_c)  # check-major (i, then j)
+            order_v = np.argsort(cols * m + rows)  # var-major (j, then i)
+            dup = (np.diff(key_c[order_c]) == 0).any()
+        else:
+            order_c = np.lexsort((cols, rows))
+            order_v = np.lexsort((rows, cols))
+            rc, cc = rows[order_c], cols[order_c]
+            dup = bool(
+                E
+                and (np.diff(np.stack([rc, cc]), axis=1) == 0).all(axis=0).any()
+            )
+        if dup:
             raise ValueError("duplicate edges in the edge list")
+        slot_c_sorted = arange_E - slot_starts(chk_deg)
+        slot_v_sorted = arange_E - slot_starts(var_deg)
         max_dc = _round_up(max(1, int(chk_deg.max(initial=1))), degree_multiple)
         max_dv = _round_up(max(1, int(var_deg.max(initial=1))), degree_multiple)
 

@@ -35,7 +35,7 @@ from .base import Decoder
 from .bp import make_bp_decode_fn
 from .priors import next_pow2
 
-__all__ = ["BeliefPropagationOSDDecoder"]
+__all__ = ["BeliefPropagationOSDDecoder", "make_fused_bposd_fn"]
 
 
 def _gf2_rank(H: np.ndarray) -> int:
@@ -135,9 +135,62 @@ def make_osd_fns(graph: TannerGraph, osd_order: int, *, use_pallas: bool = False
         corr = gf2_osd0_pallas(jnp.transpose(Hp, (0, 2, 1)), resid, bp_sorted, n)
         return jax.vmap(unsort)(perm, corr)
 
-    osd0_batch = jax.jit(osd0_batch_pallas if use_pallas else jax.vmap(osd0_lane))
-    osdw_batch = jax.jit(osdw_batch_pallas if use_pallas else jax.vmap(osdw_lane))
+    osd0_batch = osd0_batch_pallas if use_pallas else jax.vmap(osd0_lane)
+    osdw_batch = osdw_batch_pallas if use_pallas else jax.vmap(osdw_lane)
     return osd0_batch, osdw_batch
+
+
+def make_fused_bposd_fn(
+    graph: TannerGraph,
+    per: float,
+    max_iters: int,
+    osd_order: int,
+    *,
+    use_pallas: bool = False,
+):
+    """Build ONE jittable program: BP + ``lax.cond``-gated OSD post-processing.
+
+    The compacting path in :class:`BeliefPropagationOSDDecoder` reads the
+    converged mask on the host to gather failing lanes — a device->host
+    sync that serializes pipelined serving.  Here the whole decode is a
+    single XLA program: for OSD-0 the elimination branch only executes
+    when *some* lane failed BP (``lax.cond`` on ``all(converged)``), so
+    the common all-converged batch costs exactly one BP program and
+    pipelines like plain BP.  For osd_order > 0 the sweep runs on every
+    lane (reference semantics, belief_propagation_osd.jl:184-206) so the
+    fusion is unconditional.
+
+    Trade-off vs the compacting path: when a *few* lanes fail, the fused
+    OSD-0 branch eliminates the full batch instead of a small bucket.
+    Prefer fused for latency-bound / async serving at low physical error
+    rates; prefer the default compacting path for throughput at noise
+    levels where failures are routine.
+    """
+    bp_fn = make_bp_decode_fn(graph, per, max_iters)
+    osd0_batch, osdw_batch = make_osd_fns(graph, osd_order, use_pallas=use_pallas)
+
+    if osd_order > 0:
+
+        def fused_w(syndromes, ratio=None):
+            bp_err, converged, iters, logp = bp_fn(syndromes, ratio)
+            corr = osdw_batch(syndromes, bp_err, logp)
+            return corr.astype(jnp.int8), converged, iters, logp
+
+        return fused_w
+
+    def fused0(syndromes, ratio=None):
+        bp_err, converged, iters, logp = bp_fn(syndromes, ratio)
+
+        def run_osd(_):
+            corr = osd0_batch(syndromes, bp_err, logp).astype(jnp.int8)
+            return jnp.where(converged[:, None], bp_err, corr)
+
+        errs = jax.lax.cond(
+            jnp.all(converged), lambda _: bp_err, run_osd, operand=None
+        )
+        return errs, converged, iters, logp
+
+    return fused0
 
 
 class BeliefPropagationOSDDecoder(Decoder):
@@ -155,6 +208,13 @@ class BeliefPropagationOSDDecoder(Decoder):
         while_loop form (3.3x; 9x over the round-1 swap-based
         elimination); OSD-0 at per=0.2 (every lane BP-failing) reaches
         3,304 vs 767 (4.3x).
+      fused: compile BP + OSD into ONE device program with the OSD-0
+        elimination gated behind ``lax.cond(all(converged))`` instead of
+        host-side failing-lane compaction.  No device->host sync, so
+        :meth:`~Decoder.batch_decode_async` pipelines like plain BP —
+        use for low-noise serving.  When a few lanes fail, the fused
+        branch eliminates the whole batch, so keep the default
+        (compacting) path for high-noise throughput.
 
     Example:
 
@@ -174,6 +234,7 @@ class BeliefPropagationOSDDecoder(Decoder):
         *,
         osd_order: int = 0,
         use_pallas: bool | None = None,
+        fused: bool = False,
     ):
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu", "gpu")
@@ -198,10 +259,25 @@ class BeliefPropagationOSDDecoder(Decoder):
             self.graph.require_H()  # OSD always needs dense rows
         self.osd_order = int(osd_order)
         self.use_pallas = bool(use_pallas)
-        self._bp_fn = jax.jit(make_bp_decode_fn(self.graph, self.per, self.max_iters))
-        self._osd0_batch, self._osdw_batch = make_osd_fns(
-            self.graph, self.osd_order, use_pallas=self.use_pallas
-        )
+        self.fused = bool(fused)
+        if self.fused:
+            self._fused_fn = jax.jit(
+                make_fused_bposd_fn(
+                    self.graph,
+                    self.per,
+                    self.max_iters,
+                    self.osd_order,
+                    use_pallas=self.use_pallas,
+                )
+            )
+        else:
+            self._bp_fn = jax.jit(
+                make_bp_decode_fn(self.graph, self.per, self.max_iters)
+            )
+            osd0, osdw = make_osd_fns(
+                self.graph, self.osd_order, use_pallas=self.use_pallas
+            )
+            self._osd0_batch, self._osdw_batch = jax.jit(osd0), jax.jit(osdw)
 
     def _decode_batch(self, syndromes, seed: int = 0, per=None):
         syn = jnp.asarray(syndromes)
@@ -210,6 +286,9 @@ class BeliefPropagationOSDDecoder(Decoder):
             from .bp import _as_ratio
 
             ratio = _as_ratio(per, self.n, jnp.float32)
+        if self.fused:
+            errs, converged, iters, logp = self._fused_fn(syn, ratio)
+            return errs, converged, iters, {"log_probabs": logp}
         bp_err, converged, iters, logp = self._bp_fn(syn, ratio)
 
         if self.osd_order > 0:

@@ -120,3 +120,24 @@ def test_bposd_converged_flag_reflects_bp(code):
     bp = lt.BeliefPropagationDecoder(H, 0.2, 2)
     _, bp_conv = bp.batch_decode(syns)
     assert np.array_equal(conv, bp_conv)
+
+
+@pytest.mark.parametrize("per,order", [(0.01, 0), (0.2, 0), (0.2, 2)])
+def test_fused_matches_compacting_path(code, per, order):
+    """The single-program fused decoder (lax.cond-gated OSD, no host sync)
+    must reproduce the default compacting path bit-for-bit — including at
+    high noise where the OSD branch actually executes."""
+    H = code
+    rng = np.random.default_rng(11)
+    B = 12
+    errs = rng.random((B, H.shape[1])) < per
+    syns = (errs @ H.T) % 2
+    kw = dict(osd_order=order)
+    ref = lt.BeliefPropagationOSDDecoder(H, per, 30, **kw)
+    fus = lt.BeliefPropagationOSDDecoder(H, per, 30, fused=True, **kw)
+    g1, c1 = ref.batch_decode(syns)
+    g2, c2 = fus.batch_decode(syns)
+    assert np.array_equal(c1, c2)
+    assert np.array_equal(g1, g2)
+    if per > 0.1 and order == 0:
+        assert not c1.all()  # ensure the cond branch ran
