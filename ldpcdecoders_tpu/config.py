@@ -40,6 +40,8 @@ class DecoderConfig:
     scale: float = 4.0
     beta_q: int = 1
     use_pallas: bool = False
+    #: BP+OSD only: compile BP + cond-gated OSD into one device program
+    fused: bool = False
 
     def __post_init__(self):
         if self.kind not in _KINDS:
@@ -54,7 +56,8 @@ class DecoderConfig:
             return lt.BeliefPropagationDecoder(H, self.per, self.max_iters)
         if k == "bposd":
             return lt.BeliefPropagationOSDDecoder(
-                H, self.per, self.max_iters, osd_order=self.osd_order
+                H, self.per, self.max_iters, osd_order=self.osd_order,
+                fused=self.fused,
             )
         if k == "bitflip":
             return lt.BitFlipDecoder(H, self.per, self.max_iters)
