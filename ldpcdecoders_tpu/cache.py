@@ -2,9 +2,10 @@
 
 Over the remote-compile TPU tunnel a single decoder program costs minutes
 to compile; the persistent cache amortizes this across processes.
-Decoder constructors enable it automatically on first use (opt out with
-``LDPC_JAX_CACHE=off``); :func:`enable_compilation_cache` remains the
-explicit entry point for a custom directory.
+The first decode through the base API or the parallel helpers enables it
+automatically (opt out with ``LDPC_JAX_CACHE=off``);
+:func:`enable_compilation_cache` remains the explicit entry point for a
+custom directory.
 """
 
 from __future__ import annotations
@@ -44,19 +45,21 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
     """Point JAX's persistent compilation cache at ``cache_dir``.
 
     Defaults to ``$LDPC_JAX_CACHE`` or ``~/.cache/ldpcdecoders_tpu/xla``.
-    Returns the directory used, or None if configuration failed (older
-    JAX, read-only filesystem, ...).
+    The opt-out sentinels ``LDPC_JAX_CACHE=0|off|none`` disable caching
+    here too (so CLI/bench entry points honor them) and return None.
+    Returns the directory used, or None if disabled or configuration
+    failed (older JAX, read-only filesystem, ...).
     """
     import jax
 
     if cache_dir is None:
-        cache_dir = os.environ.get(
-            "LDPC_JAX_CACHE",
-            os.path.join(
-                os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
-                "ldpcdecoders_tpu",
-                "xla",
-            ),
+        env = os.environ.get("LDPC_JAX_CACHE")
+        if env is not None and env.lower() in ("", "0", "off", "none"):
+            return None  # explicit opt-out beats the explicit entry point
+        cache_dir = env or os.path.join(
+            os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+            "ldpcdecoders_tpu",
+            "xla",
         )
     try:
         os.makedirs(cache_dir, exist_ok=True)

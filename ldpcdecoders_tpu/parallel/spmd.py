@@ -44,6 +44,10 @@ def sharded_batch_decode(decoder, syndromes, mesh: Mesh, *, data_axis: str = "da
     program across the mesh (GSPMD), inserting only the early-stop
     all-reduce.  Returns host numpy arrays like ``Decoder.batch_decode``.
     """
+    from ..cache import ensure_default_cache
+
+    ensure_default_cache()  # decoders entered via the parallel API skip
+    # Decoder._call_decode, so enable the persistent compile cache here too
     syndromes = np.asarray(syndromes)
     B = syndromes.shape[0]
     n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names if a == data_axis]))
@@ -64,6 +68,9 @@ def decode_with_stats(decoder, syndromes, mesh: Mesh, *, data_axis: str = "data"
     all-reduce across the mesh, mirroring SURVEY.md §5's observability
     plan).
     """
+    from ..cache import ensure_default_cache
+
+    ensure_default_cache()
     syndromes = np.asarray(syndromes)
     syn_sharded = jax.device_put(
         jnp.asarray(syndromes), batch_sharding(mesh, 2, data_axis)
@@ -146,6 +153,9 @@ def _sumproduct_rule(dtype):
 def _make_check_sharded_fn(
     graph, per, max_iters, mesh, rule, *, data_axis, model_axis, dtype
 ):
+    from ..cache import ensure_default_cache
+
+    ensure_default_cache()  # sharded programs are the most expensive compiles
     D = mesh.shape[model_axis]
     m, n = graph.m, graph.n
     max_dc, max_dv = graph.max_dc, graph.max_dv
