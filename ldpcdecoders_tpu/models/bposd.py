@@ -147,6 +147,7 @@ def make_fused_bposd_fn(
     osd_order: int,
     *,
     use_pallas: bool = False,
+    osd_scope: str = "all",
 ):
     """Build ONE jittable program: BP + ``lax.cond``-gated OSD post-processing.
 
@@ -169,7 +170,7 @@ def make_fused_bposd_fn(
     bp_fn = make_bp_decode_fn(graph, per, max_iters)
     osd0_batch, osdw_batch = make_osd_fns(graph, osd_order, use_pallas=use_pallas)
 
-    if osd_order > 0:
+    if osd_order > 0 and osd_scope == "all":
 
         def fused_w(syndromes, ratio=None):
             bp_err, converged, iters, logp = bp_fn(syndromes, ratio)
@@ -178,11 +179,14 @@ def make_fused_bposd_fn(
 
         return fused_w
 
-    def fused0(syndromes, ratio=None):
+    # cond-gated form: OSD-0 always, OSD-w under osd_scope="failed"
+    post = osd0_batch if osd_order == 0 else osdw_batch
+
+    def fused_gated(syndromes, ratio=None):
         bp_err, converged, iters, logp = bp_fn(syndromes, ratio)
 
         def run_osd(_):
-            corr = osd0_batch(syndromes, bp_err, logp).astype(jnp.int8)
+            corr = post(syndromes, bp_err, logp).astype(jnp.int8)
             return jnp.where(converged[:, None], bp_err, corr)
 
         errs = jax.lax.cond(
@@ -190,7 +194,7 @@ def make_fused_bposd_fn(
         )
         return errs, converged, iters, logp
 
-    return fused0
+    return fused_gated
 
 
 class BeliefPropagationOSDDecoder(Decoder):
@@ -215,6 +219,15 @@ class BeliefPropagationOSDDecoder(Decoder):
         use for low-noise serving.  When a few lanes fail, the fused
         branch eliminates the whole batch, so keep the default
         (compacting) path for high-noise throughput.
+      osd_scope: ``"all"`` (default, reference semantics): with
+        osd_order > 0 the 2^w sweep runs on *every* lane — it may
+        return a lower-weight solution even where BP converged
+        (belief_propagation_osd.jl:184-206).  ``"failed"`` (deliberate
+        deviation, opt-in): route OSD-w through the same failing-lane
+        compaction / cond gating as OSD-0, keeping BP's output on
+        converged lanes — near-OSD-0 throughput when BP mostly
+        converges, at the cost of the weight-minimization refinement
+        on converged lanes.
 
     Example:
 
@@ -235,7 +248,10 @@ class BeliefPropagationOSDDecoder(Decoder):
         osd_order: int = 0,
         use_pallas: bool | None = None,
         fused: bool = False,
+        osd_scope: str = "all",
     ):
+        if osd_scope not in ("all", "failed"):
+            raise ValueError("osd_scope must be 'all' or 'failed'")
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu", "gpu")
         self.graph = H if isinstance(H, TannerGraph) else TannerGraph.from_pcm(H)
@@ -260,6 +276,7 @@ class BeliefPropagationOSDDecoder(Decoder):
         self.osd_order = int(osd_order)
         self.use_pallas = bool(use_pallas)
         self.fused = bool(fused)
+        self.osd_scope = osd_scope
         if self.fused:
             self._fused_fn = jax.jit(
                 make_fused_bposd_fn(
@@ -268,6 +285,7 @@ class BeliefPropagationOSDDecoder(Decoder):
                     self.max_iters,
                     self.osd_order,
                     use_pallas=self.use_pallas,
+                    osd_scope=self.osd_scope,
                 )
             )
         else:
@@ -291,11 +309,12 @@ class BeliefPropagationOSDDecoder(Decoder):
             return errs, converged, iters, {"log_probabs": logp}
         bp_err, converged, iters, logp = self._bp_fn(syn, ratio)
 
-        if self.osd_order > 0:
+        if self.osd_order > 0 and self.osd_scope == "all":
             corr = self._osdw_batch(syn, bp_err, logp)
             return corr.astype(jnp.int8), converged, iters, {"log_probabs": logp}
 
-        # OSD-0: only lanes whose BP output misses the syndrome need work.
+        # OSD-0 (and OSD-w under osd_scope="failed"): only lanes whose BP
+        # output misses the syndrome need work.
         # BP's converged flag IS that test (its loop exits a lane exactly
         # when (H @ err) % 2 == syndrome), so no residual recompute needed.
         need = np.flatnonzero(~np.asarray(converged))
@@ -304,7 +323,8 @@ class BeliefPropagationOSDDecoder(Decoder):
 
         bucket = next_pow2(need.size)
         idx = np.concatenate([need, np.repeat(need[:1], bucket - need.size)])
-        corr_sub = self._osd0_batch(syn[idx], bp_err[idx], logp[idx])
+        post = self._osd0_batch if self.osd_order == 0 else self._osdw_batch
+        corr_sub = post(syn[idx], bp_err[idx], logp[idx])
         out = np.asarray(bp_err).copy()
         out[need] = np.asarray(corr_sub[: need.size]).astype(np.int8)
         return out, converged, iters, {"log_probabs": logp}

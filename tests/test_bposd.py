@@ -141,3 +141,36 @@ def test_fused_matches_compacting_path(code, per, order):
     assert np.array_equal(g1, g2)
     if per > 0.1 and order == 0:
         assert not c1.all()  # ensure the cond branch ran
+
+
+@pytest.mark.parametrize("fused", [False, True])
+def test_osd_scope_failed(code, fused):
+    """osd_scope='failed' keeps BP output on converged lanes and applies
+    the OSD-w correction only to failing lanes (documented deviation
+    from the reference's every-lane sweep)."""
+    H = code
+    rng = np.random.default_rng(21)
+    B = 12
+    errs = rng.random((B, H.shape[1])) < 0.2
+    syns = (errs @ H.T) % 2
+    scoped = lt.BeliefPropagationOSDDecoder(
+        H, 0.2, 20, osd_order=2, osd_scope="failed", fused=fused
+    )
+    g, conv = scoped.batch_decode(syns)
+    assert not conv.all()  # the scoped branch must actually run
+    # output is syndrome-consistent everywhere
+    assert (((g.astype(int) @ H.T) % 2) == syns).all()
+    # converged lanes carry BP's own output
+    bp = lt.BeliefPropagationDecoder(H, 0.2, 20)
+    bp_g, bp_conv = bp.batch_decode(syns)
+    assert np.array_equal(conv, bp_conv)
+    assert np.array_equal(g[conv], bp_g[conv])
+    # failing lanes match the all-scope decoder on those same lanes
+    full = lt.BeliefPropagationOSDDecoder(H, 0.2, 20, osd_order=2)
+    f_g, _ = full.batch_decode(syns)
+    assert np.array_equal(g[~conv], f_g[~conv])
+
+
+def test_osd_scope_validation(code):
+    with pytest.raises(ValueError, match="osd_scope"):
+        lt.BeliefPropagationOSDDecoder(code, 0.1, 10, osd_scope="bogus")
