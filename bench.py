@@ -104,6 +104,16 @@ def main():
     dt_bpbf, it_bpbf, _ = measure(bpbf_fn, hard_syns)
     bpbf_edge_iters_per_s = B * it_bpbf * graph.n_edges / dt_bpbf
 
+    # fused BP+OSD (guaranteed syndrome-consistent output) pipelined:
+    # the serving configuration — one XLA program, no host sync
+    bposd = lt.BeliefPropagationOSDDecoder(H, per, max_iters, fused=True)
+    out = bposd._decode_batch(real_syns)
+    jax.block_until_ready(out[0])
+    t0 = time.perf_counter()
+    outs = [bposd._decode_batch(real_syns) for _ in range(K)]
+    jax.block_until_ready(outs[-1][0])
+    bposd_pipelined = K * B / (time.perf_counter() - t0)
+
     target = 1e7  # BASELINE.json north-star: edge-iterations/s/chip
     result = {
         "metric": "bp_edge_iterations_per_s_per_chip",
@@ -118,6 +128,7 @@ def main():
             "decoded_syndromes_per_s_sumproduct": round(B / dt_bpr, 1),
             "decoded_syndromes_per_s_sumproduct_pipelined": round(pipelined_syn_per_s, 1),
             "decoded_syndromes_per_s_minsum_int8": round(B / dt_qr, 1),
+            "decoded_syndromes_per_s_bposd_fused_pipelined": round(bposd_pipelined, 1),
             "converged_fraction_real": conv_bpr,
             "batch": B,
             "iters_executed": it_bp,
