@@ -22,20 +22,14 @@ import numpy as np
 def main():
     import jax
 
-    try:  # persistent compilation cache: amortizes the multi-minute
-        # remote-compile cost of the tunneled TPU across bench runs
-        import os
-
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ.get("LDPC_JAX_CACHE", os.path.join(os.path.dirname(__file__) or ".", ".jax_cache")),
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
     import jax.numpy as jnp
 
     import ldpcdecoders_tpu as lt
+
+    # persistent compilation cache: amortizes the multi-minute remote-
+    # compile cost of the tunneled TPU across bench runs (honors the
+    # LDPC_JAX_CACHE custom-dir and 0/off/none opt-out sentinels)
+    lt.enable_compilation_cache()
     from ldpcdecoders_tpu.models.bp import make_bp_decode_fn
     from ldpcdecoders_tpu.models.minsum import make_minsum_decode_fn
     from ldpcdecoders_tpu.models.minsum_q import make_minsum_q_decode_fn
@@ -104,13 +98,13 @@ def main():
     dt_bpbf, it_bpbf, _ = measure(bpbf_fn, hard_syns)
     bpbf_edge_iters_per_s = B * it_bpbf * graph.n_edges / dt_bpbf
 
-    # fused BP+OSD (guaranteed syndrome-consistent output) pipelined:
-    # the serving configuration — one XLA program, no host sync
+    # fused BP+OSD (guaranteed syndrome-consistent output) pipelined via
+    # the public serving API — one XLA program, no host sync per batch
     bposd = lt.BeliefPropagationOSDDecoder(H, per, max_iters, fused=True)
-    out = bposd._decode_batch(real_syns)
+    out = bposd.batch_decode_async(real_syns)  # device arrays stay resident
     jax.block_until_ready(out[0])
     t0 = time.perf_counter()
-    outs = [bposd._decode_batch(real_syns) for _ in range(K)]
+    outs = [bposd.batch_decode_async(real_syns) for _ in range(K)]
     jax.block_until_ready(outs[-1][0])
     bposd_pipelined = K * B / (time.perf_counter() - t0)
 

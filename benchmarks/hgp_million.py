@@ -38,15 +38,12 @@ def run(batch=64, per=5e-4, max_iters=30, seed_n=900, wr=6, wc=3):
     graph = lt.TannerGraph.from_edges(rows, cols, m, n)
     t_compile = time.perf_counter() - t0
 
-    # real error patterns -> syndromes (sparse scatter on the host)
+    # real error patterns -> syndromes (edge-list form, O(E) memory)
+    from ldpcdecoders_tpu.utils import syndromes_from_edges
+
     rng = np.random.default_rng(0)
     errs = rng.random((batch, n)) < per
-    active = errs[:, cols]  # [batch, E]
-    lane = np.repeat(np.arange(batch, dtype=np.int64), rows.size)
-    keys = (lane * m + np.tile(rows, batch))[active.reshape(-1)]
-    syns = (np.bincount(keys, minlength=batch * m).reshape(batch, m) % 2).astype(
-        np.uint8
-    )
+    syns = syndromes_from_edges(errs, rows, cols, m)
 
     fn = jax.jit(make_minsum_q_decode_fn(graph, per, max_iters))
     # keep syndromes device-resident: serving pipelines never re-transfer

@@ -20,10 +20,11 @@ _configured = False
 def ensure_default_cache() -> None:
     """Idempotently enable the persistent cache with default settings.
 
-    Called from decoder constructors so every user benefits from cached
-    TPU compiles without extra setup.  Skipped when ``LDPC_JAX_CACHE`` is
-    ``0``/``off``/``none`` or when the application already configured
-    ``jax_compilation_cache_dir`` itself.
+    Called from ``Decoder._call_decode`` (the first decode through the
+    base API) and the ``parallel`` entry points, so every user benefits
+    from cached TPU compiles without extra setup.  Skipped when
+    ``LDPC_JAX_CACHE`` is ``0``/``off``/``none`` or when the application
+    already configured ``jax_compilation_cache_dir`` itself.
     """
     global _configured
     if _configured:

@@ -39,7 +39,9 @@ class DecoderConfig:
     beta: float = 0.0
     scale: float = 4.0
     beta_q: int = 1
-    use_pallas: bool = False
+    # None = each decoder's own default (bposd: auto — on for TPU
+    # backends; minsum: off).  An explicit bool is forwarded as-is.
+    use_pallas: bool | None = None
     #: BP+OSD only: compile BP + cond-gated OSD into one device program
     fused: bool = False
     #: BP+OSD only: "all" (reference semantics) or "failed" (OSD-w on
@@ -61,6 +63,7 @@ class DecoderConfig:
             return lt.BeliefPropagationOSDDecoder(
                 H, self.per, self.max_iters, osd_order=self.osd_order,
                 fused=self.fused, osd_scope=self.osd_scope,
+                use_pallas=self.use_pallas,
             )
         if k == "bitflip":
             return lt.BitFlipDecoder(H, self.per, self.max_iters)
@@ -70,7 +73,8 @@ class DecoderConfig:
             return lt.MinSumDecoder(
                 H, self.per, self.max_iters,
                 alpha=1.0 if self.alpha is None else self.alpha,
-                beta=self.beta, use_pallas=self.use_pallas,
+                beta=self.beta,
+                use_pallas=bool(self.use_pallas),
             )
         if k == "minsum_int8":
             return lt.QuantizedMinSumDecoder(

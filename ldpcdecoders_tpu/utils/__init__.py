@@ -1,4 +1,9 @@
-from .noise import sample_errors, syndromes_of, sample_errors_device
+from .noise import (
+    sample_errors,
+    syndromes_of,
+    syndromes_from_edges,
+    sample_errors_device,
+)
 from .metrics import exact_recovery_ler, syndrome_match_rate, wilson_interval
 from .io import (
     save_code_npz,
@@ -14,6 +19,7 @@ from .profiling import trace, annotate
 __all__ = [
     "sample_errors",
     "syndromes_of",
+    "syndromes_from_edges",
     "sample_errors_device",
     "exact_recovery_ler",
     "syndrome_match_rate",

@@ -10,7 +10,12 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["sample_errors", "syndromes_of", "sample_errors_device"]
+__all__ = [
+    "sample_errors",
+    "syndromes_of",
+    "syndromes_from_edges",
+    "sample_errors_device",
+]
 
 
 def sample_errors(rng, batch: int, n: int, per: float) -> np.ndarray:
@@ -31,6 +36,25 @@ def syndromes_of(H, errors: np.ndarray) -> np.ndarray:
     if hasattr(H, "tocsr"):
         return np.asarray(e @ H.tocsr().astype(np.int64).T) % 2
     return (e @ np.asarray(H).astype(np.int64).T) % 2
+
+
+def syndromes_from_edges(errors: np.ndarray, rows, cols, m: int) -> np.ndarray:
+    """``[B, m]`` syndromes from a COO edge list (host, O(active edges)).
+
+    For codes held only as edge lists (``TannerGraph.from_edges`` scale),
+    this runs one masked ``bincount`` per lane — O(E) working memory, no
+    dense ``[B, E]`` intermediates (a fused-key variant allocated several
+    ``batch * E`` int64 arrays: ~6 GB at million-qubit HGP scale).
+    """
+    errors = np.asarray(errors, dtype=bool)
+    rows = np.asarray(rows, dtype=np.int64)
+    cols = np.asarray(cols, dtype=np.int64)
+    B = errors.shape[0]
+    out = np.empty((B, m), np.uint8)
+    for b in range(B):
+        counts = np.bincount(rows[errors[b, cols]], minlength=m)
+        out[b] = (counts & 1).astype(np.uint8)
+    return out
 
 
 def sample_errors_device(key, batch: int, n: int, per: float):

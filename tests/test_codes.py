@@ -115,3 +115,15 @@ def test_tanner_graph_irregular_degrees():
     assert g.max_dv == 2
     g8 = TannerGraph.from_pcm(H, degree_multiple=8)
     assert g8.max_dc == 8 and g8.max_dv == 8
+
+
+def test_syndromes_from_edges_matches_dense():
+    import ldpcdecoders_tpu as lt
+    from ldpcdecoders_tpu.utils import syndromes_from_edges, syndromes_of
+
+    H = lt.parity_check_matrix(120, 6, 3, rng=9)
+    rows, cols = np.nonzero(H)
+    errs = np.random.default_rng(4).random((7, H.shape[1])) < 0.1
+    want = syndromes_of(H, errs)
+    got = syndromes_from_edges(errs, rows, cols, H.shape[0])
+    assert np.array_equal(got, want)

@@ -89,3 +89,16 @@ def test_reference_exact_config_bposd_consistency():
     guesses, conv = dec.batch_decode(syns)
     synhat = (guesses.astype(int) @ H.T) % 2
     assert (synhat == syns).all()
+
+
+def test_config_forwards_use_pallas_to_bposd():
+    """An explicit use_pallas in the config must reach the bposd decoder
+    (None keeps the decoder's backend auto-detection)."""
+    import ldpcdecoders_tpu as lt
+    from ldpcdecoders_tpu.config import DecoderConfig
+
+    H = lt.parity_check_matrix(48, 6, 3, rng=3)
+    dec = DecoderConfig(kind="bposd", use_pallas=False).build(H)
+    assert dec.use_pallas is False
+    dec = DecoderConfig(kind="bposd", use_pallas=True).build(H)
+    assert dec.use_pallas is True
