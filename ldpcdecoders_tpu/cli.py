@@ -95,10 +95,21 @@ def main(argv=None):
     bp.add_argument("--per", type=float, default=0.01)
     bp.add_argument("--reps", type=int, default=5, help="timed repetitions (median reported)")
 
+    th = sub.add_parser(
+        "threshold", parents=[common],
+        help="bisect the per where LER crosses a target",
+    )
+    th.add_argument("--target-ler", type=float, default=1e-2)
+    th.add_argument("--lo", type=float, default=1e-4)
+    th.add_argument("--hi", type=float, default=0.2)
+    th.add_argument("--trials", type=int, default=2000, help="trials per probe")
+    th.add_argument("--seed", type=int, default=0)
+    th.add_argument("--max-probes", type=int, default=12)
+
     a = ap.parse_args(argv)
 
     from ldpcdecoders_tpu.cache import enable_compilation_cache
-    from ldpcdecoders_tpu.harness import FERSweep
+    from ldpcdecoders_tpu.harness import FERSweep, find_threshold
     from ldpcdecoders_tpu.utils.profiling import trace
 
     enable_compilation_cache()
@@ -119,6 +130,19 @@ def main(argv=None):
             )
             out = sweep.run(trials_per_point=a.trials, max_seconds=a.max_seconds)
             print(json.dumps({str(k): v for k, v in out.items()}, indent=2))
+        elif a.cmd == "threshold":
+            res = find_threshold(
+                H,
+                factory,
+                target_ler=a.target_ler,
+                lo=a.lo,
+                hi=a.hi,
+                trials_per_probe=a.trials,
+                batch=a.batch,
+                seed=a.seed,
+                max_probes=a.max_probes,
+            )
+            print(json.dumps(res, indent=2))
         elif a.cmd == "bench":
             # bench.py's methodology: compile+warmup call excluded, then a
             # fixed number of timed repetitions with the median reported

@@ -23,7 +23,7 @@ from .utils.io import atomic_write_json, read_json
 from .utils.metrics import wilson_interval
 from .utils.noise import sample_errors, syndromes_of
 
-__all__ = ["FERSweep", "SweepPoint"]
+__all__ = ["FERSweep", "SweepPoint", "find_threshold"]
 
 
 @dataclasses.dataclass
@@ -307,3 +307,57 @@ class FERSweep:
 
     def summaries(self) -> dict:
         return {pt.per: pt.summary() for pt in self.points.values()}
+
+
+def find_threshold(
+    H,
+    decoder_factory: Callable[[float], Decoder],
+    *,
+    target_ler: float = 1e-2,
+    lo: float = 1e-4,
+    hi: float = 0.2,
+    trials_per_probe: int = 2000,
+    batch: int = 256,
+    seed: int = 0,
+    rel_tol: float = 0.05,
+    max_probes: int = 12,
+) -> dict:
+    """Bisect the physical error rate where the decoder's LER crosses
+    ``target_ler`` (the practical 'threshold' question for quantum-code
+    evaluation; the reference has no analog tool).
+
+    LER(per) is monotone increasing for these channels, so a geometric
+    bisection brackets the crossing: each probe runs a single-point
+    :class:`FERSweep` (same counted-RNG discipline — a re-run with the
+    same seed reproduces the probe stream exactly) and moves the bracket
+    endpoint the probe falls on.  Stops when ``hi/lo <= 1 + rel_tol`` or
+    after ``max_probes``.
+
+    Returns ``{"threshold": geometric bracket midpoint, "lo": ..,
+    "hi": .., "probes": [per-probe summaries]}``.
+    """
+    if not (0.0 < lo < hi):
+        raise ValueError("need 0 < lo < hi")
+    if not 0.0 < target_ler < 1.0:
+        raise ValueError("target_ler must be in (0, 1)")
+    probes = []
+    for k in range(max_probes):
+        if hi / lo <= 1.0 + rel_tol:
+            break
+        mid = float(np.sqrt(lo * hi))
+        sweep = FERSweep(
+            H, decoder_factory, [mid], batch=batch, seed=seed + k, multihost=False
+        )
+        summary = sweep.run(trials_per_point=trials_per_probe)[mid]
+        probes.append(summary)
+        if summary["ler"] >= target_ler:
+            hi = mid
+        else:
+            lo = mid
+    return {
+        "threshold": float(np.sqrt(lo * hi)),
+        "lo": float(lo),
+        "hi": float(hi),
+        "target_ler": float(target_ler),
+        "probes": probes,
+    }

@@ -110,3 +110,47 @@ def test_fer_sweep_rejects_mismatched_checkpoint(tmp_path):
     )
     with pytest.raises(ValueError):
         FERSweep(H, factory, pers=[0.01], batch=8, checkpoint_path=ck, seed=2)
+
+
+def test_find_threshold_brackets_crossing():
+    """Bisection converges to a per bracket whose LER straddles the target,
+    and probes are reproducible from the counted-RNG seed discipline."""
+    import ldpcdecoders_tpu as lt
+    from ldpcdecoders_tpu.harness import find_threshold
+
+    H = lt.parity_check_matrix(240, 8, 4, rng=17)
+    factory = lambda p: lt.MinSumDecoder(H, p, 30)
+    res = find_threshold(
+        H, factory, target_ler=0.5, lo=1e-3, hi=0.2,
+        trials_per_probe=256, batch=64, seed=5, max_probes=5, rel_tol=0.2,
+    )
+    assert 1e-3 <= res["lo"] < res["hi"] <= 0.2
+    assert res["lo"] <= res["threshold"] <= res["hi"]
+    assert len(res["probes"]) >= 3
+    # monotone bracket: every probe landed inside the previous bracket
+    for p in res["probes"]:
+        assert 1e-3 <= p["per"] <= 0.2
+    # rerun reproduces identically (counted RNG streams)
+    res2 = find_threshold(
+        H, factory, target_ler=0.5, lo=1e-3, hi=0.2,
+        trials_per_probe=256, batch=64, seed=5, max_probes=5, rel_tol=0.2,
+    )
+    strip = lambda r: {
+        **{k: v for k, v in r.items() if k != "probes"},
+        "probes": [
+            {k: v for k, v in p.items() if k != "throughput_syndromes_per_s"}
+            for p in r["probes"]
+        ],
+    }
+    assert strip(res2) == strip(res)
+
+
+def test_find_threshold_validation():
+    import ldpcdecoders_tpu as lt
+    from ldpcdecoders_tpu.harness import find_threshold
+
+    H = lt.parity_check_matrix(48, 6, 3, rng=1)
+    with pytest.raises(ValueError):
+        find_threshold(H, lambda p: lt.MinSumDecoder(H, p, 5), lo=0.2, hi=0.1)
+    with pytest.raises(ValueError):
+        find_threshold(H, lambda p: lt.MinSumDecoder(H, p, 5), target_ler=0.0)
