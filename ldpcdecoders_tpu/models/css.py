@@ -78,6 +78,7 @@ class CSSDecoder:
                 raise ValueError("CSS condition violated: Hx @ Hz^T != 0 (mod 2)")
 
         self.n = int(Hx.shape[1])
+        self._Hx, self._Hz = Hx, Hz  # kept for logical-failure accounting
         self._vector_prior = bool(np.ndim(per))
         scalar_per = float(np.mean(per)) if self._vector_prior else float(per)
         cfg = DecoderConfig(kind=decoder, per=scalar_per, max_iters=max_iters, **knobs)
@@ -128,3 +129,22 @@ class CSSDecoder:
             np.asarray(syndrome_x)[None], np.asarray(syndrome_z)[None], seed=seed
         )
         return ze[0], xe[0], bool(zc[0]), bool(xc[0])
+
+    def logical_failures(self, z_true, z_hat, x_true, x_hat):
+        """Degeneracy-aware logical failure masks for decoded batches.
+
+        A lane fails logically when its residual (true XOR estimate) is
+        not a stabilizer: Z residuals must lie in rowspan(Hz), X
+        residuals in rowspan(Hx) — exact-recovery comparison over-counts
+        failures on degenerate codes (see utils.logical_failure_rate).
+
+        Returns ``(z_logical_fail [B] bool, x_logical_fail [B] bool)``.
+        """
+        from ..utils.metrics import gf2_rowspan_reducer
+
+        if not hasattr(self, "_z_span"):
+            self._z_span = gf2_rowspan_reducer(self._Hz)
+            self._x_span = gf2_rowspan_reducer(self._Hx)
+        rz = np.asarray(z_true).astype(np.uint8) ^ np.asarray(z_hat).astype(np.uint8)
+        rx = np.asarray(x_true).astype(np.uint8) ^ np.asarray(x_hat).astype(np.uint8)
+        return ~self._z_span(rz), ~self._x_span(rx)

@@ -4,7 +4,14 @@ from .noise import (
     syndromes_from_edges,
     sample_errors_device,
 )
-from .metrics import exact_recovery_ler, syndrome_match_rate, wilson_interval
+from .metrics import (
+    exact_recovery_ler,
+    syndrome_match_rate,
+    wilson_interval,
+    gf2_rowspan_reducer,
+    gf2_kernel_basis,
+    logical_failure_rate,
+)
 from .io import (
     save_code_npz,
     load_code_npz,
@@ -24,6 +31,9 @@ __all__ = [
     "exact_recovery_ler",
     "syndrome_match_rate",
     "wilson_interval",
+    "gf2_rowspan_reducer",
+    "gf2_kernel_basis",
+    "logical_failure_rate",
     "save_code_npz",
     "load_code_npz",
     "save_graph_npz",

@@ -16,6 +16,9 @@ __all__ = [
     "exact_recovery_ler",
     "syndrome_match_rate",
     "wilson_interval",
+    "gf2_rowspan_reducer",
+    "gf2_kernel_basis",
+    "logical_failure_rate",
 ]
 
 
@@ -29,6 +32,112 @@ def syndrome_match_rate(H: np.ndarray, guesses: np.ndarray, syndromes: np.ndarra
     """Fraction of lanes whose estimate reproduces its input syndrome."""
     synhat = (np.asarray(guesses).astype(np.int64) @ np.asarray(H).astype(np.int64).T) % 2
     return float((synhat == np.asarray(syndromes)).all(axis=1).mean())
+
+
+def gf2_rowspan_reducer(H):
+    """Build a ``vectors [B, n] -> in_span [B] bool`` membership test for
+    the GF(2) row span of ``H`` (host-side, bit-packed RREF).
+
+    The quantum use: for a CSS code, a decoding residual
+    ``r = e_true XOR e_hat`` with ``H_check @ r == 0`` is a *harmless
+    stabilizer* exactly when ``r`` lies in the row span of the opposite
+    block's parity-check matrix — exact-recovery LER over-counts
+    failures on degenerate codes.  Accepts dense arrays or scipy.sparse.
+    """
+    if hasattr(H, "toarray"):
+        H = H.toarray()
+    H = (np.asarray(H) != 0).astype(np.uint8)
+    m, n = H.shape
+    W = (n + 63) // 64
+    pad = W * 64 - n
+
+    def pack(M):
+        bits = np.pad(M, [(0, 0), (0, pad)]).reshape(len(M), W, 64).astype(np.uint64)
+        return (bits << np.arange(64, dtype=np.uint64)).sum(axis=2, dtype=np.uint64)
+
+    rows = pack(H)
+    # row-echelon basis: one row per pivot column; eliminating the pivot
+    # from every row (including the donor) leaves the remaining rows free
+    # of all previous pivots
+    basis, pivots = [], []
+    for j in range(n):
+        w, b = divmod(j, 64)
+        hit = ((rows[:, w] >> np.uint64(b)) & np.uint64(1)).astype(bool)
+        idx = np.flatnonzero(hit)
+        if idx.size == 0:
+            continue
+        cand = rows[idx[0]].copy()
+        rows[hit] ^= cand
+        basis.append(cand)
+        pivots.append(j)
+        if len(basis) == m:
+            break
+    basis = np.array(basis, dtype=np.uint64) if basis else np.zeros((0, W), np.uint64)
+    pivots = np.asarray(pivots, dtype=np.int64)
+
+    def in_span(vectors) -> np.ndarray:
+        V = (np.asarray(vectors) != 0).astype(np.uint8)
+        if V.ndim == 1:
+            V = V[None, :]
+        X = pack(V)
+        for k in range(len(basis)):
+            w, b = divmod(int(pivots[k]), 64)
+            hit = ((X[:, w] >> np.uint64(b)) & np.uint64(1)).astype(bool)
+            X[hit] ^= basis[k]
+        return ~np.any(X, axis=1)
+
+    return in_span
+
+
+def gf2_kernel_basis(H) -> np.ndarray:
+    """Basis of the GF(2) null space of ``H`` as a ``[k, n]`` 0/1 array.
+
+    For a CSS block this is the space of undetectable errors; quotienting
+    by the opposite block's row span (see :func:`gf2_rowspan_reducer`)
+    yields the logical operators.  Host-side dense RREF — intended for
+    small/moderate codes.
+    """
+    if hasattr(H, "toarray"):
+        H = H.toarray()
+    A = (np.asarray(H) != 0).astype(np.uint8).copy()
+    m, n = A.shape
+    pivots = []
+    r = 0
+    for j in range(n):
+        if r == m:
+            break
+        rows_with = np.flatnonzero(A[r:, j]) + r
+        if rows_with.size == 0:
+            continue
+        k = rows_with[0]
+        A[[r, k]] = A[[k, r]]
+        elim = np.flatnonzero(A[:, j])
+        elim = elim[elim != r]
+        A[elim] ^= A[r]
+        pivots.append(j)
+        r += 1
+    free = [j for j in range(n) if j not in set(pivots)]
+    basis = np.zeros((len(free), n), np.uint8)
+    for i, j in enumerate(free):
+        basis[i, j] = 1
+        # pivot variable values follow from the RREF rows
+        for rr, pj in enumerate(pivots):
+            if A[rr, j]:
+                basis[i, pj] = 1
+    return basis
+
+
+def logical_failure_rate(H_stab, true_errors, guesses) -> float:
+    """Degeneracy-aware logical error rate for one CSS block.
+
+    A lane fails logically when the residual ``e_true XOR e_hat`` is NOT
+    a stabilizer, i.e. not in the row span of ``H_stab`` (the opposite
+    basis' parity-check matrix).  Strictly <= the exact-recovery LER.
+    """
+    residual = np.asarray(true_errors).astype(np.uint8) ^ np.asarray(guesses).astype(
+        np.uint8
+    )
+    return float(1.0 - gf2_rowspan_reducer(H_stab)(residual).mean())
 
 
 def wilson_interval(failures: int, trials: int, z: float = 1.96) -> tuple[float, float]:
