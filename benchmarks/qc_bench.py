@@ -1,0 +1,110 @@
+"""QC-LDPC fused-kernel benchmark: Pallas VMEM-resident decode vs XLA.
+
+Decodes the same lifted quasi-cyclic code with both QCMinSumDecoder
+backends and reports throughput (syndromes/s and edge-iters/s) plus a
+bitwise agreement check.  The base configuration is a (wr=6, wc=3)
+regular QC code with Z=128 (full TPU lanes), n = nb*Z variables.
+
+Usage:  python benchmarks/qc_bench.py [--nb 24] [--Z 128] [--batch 512]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def run(nb=24, Z=128, batch=512, per=0.01, max_iters=32, batch_tile=32, reps=5):
+    import jax
+
+    sys.path.insert(0, ".")
+    import ldpcdecoders_tpu as lt
+
+    lt.enable_compilation_cache()
+    base = lt.random_qc_base_matrix(nb, 6, 3, Z, rng=7)
+    Eb = int((base >= 0).sum())
+    E = Eb * Z
+
+    rng = np.random.default_rng(0)
+    rows, cols, m, n = lt.qc_lift_edges(base, Z)
+    errs = (rng.random((batch, n)) < per).astype(np.int8)
+    syn = np.zeros((batch, m), np.int8)
+    np.add.at(syn, (slice(None),), 0)  # keep syn int8
+    for r, c in zip(rows, cols):
+        syn[:, r] ^= errs[:, c]
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    decs = {
+        "xla": lt.QCMinSumDecoder(base, Z, per, max_iters, backend="xla"),
+        "pallas": lt.QCMinSumDecoder(
+            base, Z, per, max_iters, backend="pallas",
+            batch_tile=batch_tile, interpret=not on_tpu,
+        ),
+    }
+
+    results = {}
+    outs = {}
+    best = {name: 0.0 for name in decs}
+    for name, dec in decs.items():  # compile both first
+        err, conv, iters, aux, _ = dec.batch_decode_detailed(syn)
+        outs[name] = (np.asarray(err), np.asarray(conv), np.asarray(iters))
+    # interleave timed reps so device-load drift (the chip is shared over
+    # a tunnel) hits both backends equally instead of biasing the ratio;
+    # K device-resident calls per rep (sync once) so per-call dispatch
+    # latency and host transfers don't floor both backends at the same
+    # number (the serving pattern bench.py uses)
+    import jax.numpy as jnp
+
+    syn_dev = jnp.asarray(syn)
+    K = 4
+    for _ in range(reps):
+        for name, dec in decs.items():
+            t0 = time.perf_counter()
+            rets = [dec._decode_batch(syn_dev) for _ in range(K)]
+            jax.block_until_ready(rets[-1][0])
+            best[name] = max(best[name], K * batch / (time.perf_counter() - t0))
+    for name in decs:
+        iters = outs[name][2]
+        mean_iters = float(iters.mean())
+        results[name] = {
+            "syndromes_per_s": round(best[name], 1),
+            "edge_iters_per_s": round(best[name] * mean_iters * E, 1),
+            "converged_fraction": float(outs[name][1].mean()),
+            "mean_iters": round(mean_iters, 2),
+        }
+        print(f"qc/{name}: {best[name]:.0f} syndromes/s, conv={results[name]['converged_fraction']:.3f}",
+              file=sys.stderr)
+
+    agree = bool(
+        np.array_equal(outs["xla"][0], outs["pallas"][0])
+        and np.array_equal(outs["xla"][1], outs["pallas"][1])
+    )
+    out = {
+        "config": {"nb": nb, "Z": Z, "n": n, "m": m, "edges": E,
+                   "per": per, "max_iters": max_iters, "batch": batch,
+                   "batch_tile": batch_tile},
+        "cases": results,
+        "backends_bitwise_agree": agree,
+        "speedup_pallas_vs_xla": round(
+            results["pallas"]["syndromes_per_s"] / results["xla"]["syndromes_per_s"], 3
+        ),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nb", type=int, default=24)
+    ap.add_argument("--Z", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--per", type=float, default=0.01)
+    ap.add_argument("--max-iters", type=int, default=32)
+    ap.add_argument("--batch-tile", type=int, default=32)
+    a = ap.parse_args()
+    run(a.nb, a.Z, a.batch, a.per, a.max_iters, a.batch_tile)

@@ -21,6 +21,11 @@ from .codes import (
     hamming_code,
     hypergraph_product,
     hypergraph_product_edges,
+    qc_lift,
+    qc_lift_edges,
+    random_qc_base_matrix,
+    save_base_matrix,
+    load_base_matrix,
 )
 from .models import (
     Decoder,
@@ -36,6 +41,7 @@ from .models import (
     LayeredMinSumDecoder,
     BucketedDecoder,
     CSSDecoder,
+    QCMinSumDecoder,
 )
 from . import parallel
 from .config import DecoderConfig

@@ -1,5 +1,12 @@
 from .gallager import parity_check_matrix, save_pcm, load_pcm
 from .graph import TannerGraph
+from .qc import (
+    qc_lift,
+    qc_lift_edges,
+    random_qc_base_matrix,
+    save_base_matrix,
+    load_base_matrix,
+)
 from .css import (
     toric_code_x,
     toric_code_z,
@@ -17,6 +24,11 @@ __all__ = [
     "save_pcm",
     "load_pcm",
     "TannerGraph",
+    "qc_lift",
+    "qc_lift_edges",
+    "random_qc_base_matrix",
+    "save_base_matrix",
+    "load_base_matrix",
     "toric_code_x",
     "toric_code_z",
     "surface_code_x",

@@ -8,6 +8,7 @@ from .minsum_q import QuantizedMinSumDecoder
 from .layered import LayeredMinSumDecoder
 from .bucketed import BucketedDecoder
 from .css import CSSDecoder
+from .qc_minsum import QCMinSumDecoder
 
 __all__ = [
     "Decoder",
@@ -23,4 +24,5 @@ __all__ = [
     "LayeredMinSumDecoder",
     "BucketedDecoder",
     "CSSDecoder",
+    "QCMinSumDecoder",
 ]

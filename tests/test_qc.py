@@ -1,0 +1,138 @@
+"""Quasi-cyclic LDPC family: lifting, I/O, and the fused Pallas decoder.
+
+The QC decoder's Pallas backend is the fully VMEM-resident whole-decode
+kernel (ops/pallas_qc.py); interpreter-mode tests here pin it bitwise to
+the generic edge-list decoder on the lifted graph.  Configs are kept tiny
+because Pallas interpret-mode compilation is expensive on CPU.
+"""
+
+import numpy as np
+import pytest
+
+import ldpcdecoders_tpu as lt
+from ldpcdecoders_tpu.codes.qc import (
+    load_base_matrix,
+    qc_lift,
+    qc_lift_edges,
+    random_qc_base_matrix,
+    save_base_matrix,
+)
+
+
+def test_qc_lift_circulant_structure():
+    # one block, shift 2, Z=5: P^2[r, c] = 1 iff c == (r+2) % 5
+    H = qc_lift([[2]], 5)
+    expect = np.zeros((5, 5), np.uint8)
+    for r in range(5):
+        expect[r, (r + 2) % 5] = 1
+    assert np.array_equal(H, expect)
+    # -1 is an all-zero block; shift 0 is the identity
+    H2 = qc_lift([[0, -1]], 3)
+    assert np.array_equal(H2[:, :3], np.eye(3, dtype=np.uint8))
+    assert H2[:, 3:].sum() == 0
+
+
+def test_qc_lift_edges_matches_dense():
+    base = random_qc_base_matrix(8, 4, 2, 16, rng=3)
+    rows, cols, m, n = qc_lift_edges(base, 16)
+    H = np.zeros((m, n), np.uint8)
+    H[rows, cols] = 1
+    assert np.array_equal(H, qc_lift(base, 16))
+
+
+def test_random_qc_base_regularity():
+    base = random_qc_base_matrix(12, 4, 2, 32, rng=0)
+    support = base >= 0
+    assert (support.sum(axis=1) == 4).all()
+    assert (support.sum(axis=0) == 2).all()
+    assert base[support].min() >= 0 and base[support].max() < 32
+    # the lifted code is (wr, wc)-regular
+    H = qc_lift(base, 32)
+    assert set(H.sum(axis=1)) == {4} and set(H.sum(axis=0)) == {2}
+
+
+def test_base_matrix_io_roundtrip(tmp_path):
+    base = random_qc_base_matrix(8, 4, 2, 64, rng=1)
+    path = tmp_path / "base.txt"
+    save_base_matrix(base, 64, path)
+    loaded, Z = load_base_matrix(path)
+    assert Z == 64
+    assert np.array_equal(loaded, base)
+
+
+def test_base_matrix_validation():
+    with pytest.raises(ValueError, match="shifts in"):
+        qc_lift([[5]], 4)  # shift >= Z
+    with pytest.raises(ValueError, match="shifts in"):
+        qc_lift([[-2]], 4)
+    with pytest.raises(ValueError, match="2-D"):
+        qc_lift([1, 2], 4)
+
+
+@pytest.fixture(scope="module")
+def small_qc():
+    base = random_qc_base_matrix(6, 3, 2, 16, rng=5)  # mb=4, Eb=12
+    return base, 16, qc_lift(base, 16)
+
+
+def test_qc_xla_backend_recovers_errors(small_qc):
+    base, Z, H = small_qc
+    dec = lt.QCMinSumDecoder(base, Z, 0.02, 30, backend="xla")
+    rng = np.random.default_rng(11)
+    errs = (rng.random((64, dec.n)) < 0.01).astype(np.int8)
+    syn = (errs @ H.T) % 2
+    out, conv = dec.batch_decode(syn)
+    s2 = (out.astype(np.int64) @ H.T) % 2
+    assert conv.mean() > 0.9
+    assert (s2[conv] == syn[conv]).all()
+    assert out.dtype == np.int8
+
+
+def test_qc_pallas_interpret_matches_xla_bitwise(small_qc):
+    base, Z, H = small_qc
+    dec_x = lt.QCMinSumDecoder(base, Z, 0.05, 10, backend="xla")
+    dec_p = lt.QCMinSumDecoder(
+        base, Z, 0.05, 10, backend="pallas", interpret=True, batch_tile=8
+    )
+    rng = np.random.default_rng(2)
+    errs = (rng.random((8, dec_x.n)) < 0.03).astype(np.int8)
+    syn = (errs @ H.T) % 2
+    ex, cx, ix, auxx, _ = dec_x.batch_decode_detailed(syn)
+    ep, cp, ip, auxp, _ = dec_p.batch_decode_detailed(syn)
+    assert np.array_equal(ex, ep)
+    assert np.array_equal(cx, cp)
+    assert np.array_equal(ix, ip)
+    np.testing.assert_allclose(
+        np.asarray(auxx["llrs"]), np.asarray(auxp["llrs"]), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_qc_pallas_batch_padding_and_single(small_qc):
+    base, Z, H = small_qc
+    dec = lt.QCMinSumDecoder(
+        base, Z, 0.05, 8, backend="pallas", interpret=True, batch_tile=4
+    )
+    rng = np.random.default_rng(4)
+    err = (rng.random(dec.n) < 0.02).astype(np.int8)
+    syn = (H @ err) % 2
+    # B=1 pads to the batch tile internally and un-pads the outputs
+    out, conv = dec.decode(syn)
+    assert out.shape == (dec.n,)
+    if conv:
+        assert np.array_equal((H @ out.astype(np.int64)) % 2, syn)
+    # B=5 with tile 4 pads to 8
+    outs, convs = dec.batch_decode(np.tile(syn, (5, 1)))
+    assert outs.shape == (5, dec.n)
+    assert np.array_equal(outs[0], out)
+
+
+def test_qc_decoder_validation(small_qc):
+    base, Z, _ = small_qc
+    with pytest.raises(ValueError, match="backend"):
+        lt.QCMinSumDecoder(base, Z, 0.05, 5, backend="bogus")
+    dec = lt.QCMinSumDecoder(
+        base, Z, 0.05, 5, backend="pallas", interpret=True, batch_tile=4
+    )
+    assert dec.supports_per_override is False
+    with pytest.raises(ValueError, match="prior override"):
+        dec.batch_decode(np.zeros((4, dec.m), np.int8), per=0.01)
