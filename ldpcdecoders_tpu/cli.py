@@ -22,31 +22,41 @@ import numpy as np
 
 
 def _build_code(spec: str):
+    """Return ``(H, qc)`` — the parity-check matrix plus, for quasi-cyclic
+    specs, the ``(base, Z)`` structure the QC decoder needs (None otherwise)."""
     import ldpcdecoders_tpu as lt
 
     kind, _, args = spec.partition(":")
     if kind == "gallager":
         n, wr, wc = (int(x) for x in args.split(","))
-        return lt.parity_check_matrix(n, wr, wc, rng=42)
+        return lt.parity_check_matrix(n, wr, wc, rng=42), None
     if kind == "toric":
-        return lt.toric_code_x(int(args))
+        return lt.toric_code_x(int(args)), None
     if kind == "surface":
-        return lt.surface_code_x(int(args))
+        return lt.surface_code_x(int(args)), None
     if kind == "repetition":
-        return lt.repetition_code(int(args))
+        return lt.repetition_code(int(args)), None
     if kind == "hamming":
-        return lt.hamming_code(int(args))
+        return lt.hamming_code(int(args)), None
+    if kind == "qc":
+        nb, wr, wc, Z = (int(x) for x in args.split(","))
+        base = lt.random_qc_base_matrix(nb, wr, wc, Z, rng=42)
+        return lt.qc_lift(base, Z), (base, Z)
+    if kind == "qcbase":
+        base, Z = lt.load_base_matrix(args)
+        return lt.qc_lift(base, Z), (base, Z)
     if kind == "pcm":
-        return lt.load_pcm(args)
+        return lt.load_pcm(args), None
     if kind == "npz":
         from ldpcdecoders_tpu.utils import load_code_npz
 
-        return load_code_npz(args)[0]
+        return load_code_npz(args)[0], None
     raise SystemExit(f"unknown code spec '{spec}'")
 
 
-def _decoder_factory(name: str, H, max_iters: int, osd_order: int, T: int, C: float, fused: bool = False, osd_scope: str = 'all'):
+def _decoder_factory(name: str, H, max_iters: int, osd_order: int, T: int, C: float, fused: bool = False, osd_scope: str = 'all', qc=None):
     import ldpcdecoders_tpu as lt
+    from ldpcdecoders_tpu.config import DecoderConfig
 
     table = {
         "bp": lambda per: lt.BeliefPropagationDecoder(H, per, max_iters),
@@ -59,9 +69,17 @@ def _decoder_factory(name: str, H, max_iters: int, osd_order: int, T: int, C: fl
         "minsum": lambda per: lt.MinSumDecoder(H, per, max_iters),
         "minsum_int8": lambda per: lt.QuantizedMinSumDecoder(H, per, max_iters),
         "layered_minsum": lambda per: lt.LayeredMinSumDecoder(H, per, max_iters),
+        "qc_minsum": lambda per: DecoderConfig(
+            kind="qc_minsum", per=per, max_iters=max_iters
+        ).build(qc),
     }
     if name not in table:
         raise SystemExit(f"unknown decoder '{name}' (choose from {sorted(table)})")
+    if name == "qc_minsum" and qc is None:
+        raise SystemExit(
+            "decoder 'qc_minsum' needs a quasi-cyclic code spec "
+            "(--code qc:nb,wr,wc,Z or qcbase:path)"
+        )
     return table[name]
 
 
@@ -70,7 +88,7 @@ def main(argv=None):
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     common = argparse.ArgumentParser(add_help=False)
-    common.add_argument("--code", required=True, help="gallager:n,wr,wc | toric:d | surface:d | repetition:n | hamming:r | pcm:path | npz:path")
+    common.add_argument("--code", required=True, help="gallager:n,wr,wc | toric:d | surface:d | repetition:n | hamming:r | qc:nb,wr,wc,Z | qcbase:path | pcm:path | npz:path")
     common.add_argument("--decoder", default="bposd")
     common.add_argument("--max-iters", type=int, default=100)
     common.add_argument("--osd-order", type=int, default=0)
@@ -114,8 +132,8 @@ def main(argv=None):
 
     enable_compilation_cache()
 
-    H = _build_code(a.code)
-    factory = _decoder_factory(a.decoder, H, a.max_iters, a.osd_order, a.T, a.C, a.fused, a.osd_scope)
+    H, qc = _build_code(a.code)
+    factory = _decoder_factory(a.decoder, H, a.max_iters, a.osd_order, a.T, a.C, a.fused, a.osd_scope, qc=qc)
 
     with trace(a.profile):
         if a.cmd == "sweep":

@@ -14,7 +14,16 @@ from typing import Any
 
 __all__ = ["DecoderConfig"]
 
-_KINDS = ("bp", "bposd", "bitflip", "bpots", "minsum", "minsum_int8", "layered_minsum")
+_KINDS = (
+    "bp",
+    "bposd",
+    "bitflip",
+    "bpots",
+    "minsum",
+    "minsum_int8",
+    "layered_minsum",
+    "qc_minsum",
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -47,16 +56,43 @@ class DecoderConfig:
     #: BP+OSD only: "all" (reference semantics) or "failed" (OSD-w on
     #: failing lanes only — throughput deviation)
     osd_scope: str = "all"
+    #: qc_minsum only: 'auto' (fused Pallas kernel on TPU, XLA edge-list
+    #: elsewhere), 'pallas', or 'xla'
+    backend: str = "auto"
+    #: qc_minsum only: Pallas batch-tile size
+    batch_tile: int = 32
 
     def __post_init__(self):
         if self.kind not in _KINDS:
             raise ValueError(f"unknown decoder kind '{self.kind}' (choose from {_KINDS})")
 
     def build(self, H):
-        """Construct the decoder for parity-check matrix ``H``."""
+        """Construct the decoder for parity-check matrix ``H``.
+
+        For ``kind='qc_minsum'`` pass the code as ``(base, Z)`` (the QC
+        base matrix and lift size) instead of a lifted H — the decoder
+        needs the circulant structure, which a flat matrix loses.
+        """
         import ldpcdecoders_tpu as lt
 
         k = self.kind
+        if k == "qc_minsum":
+            if not (isinstance(H, tuple) and len(H) == 2):
+                raise ValueError(
+                    "kind='qc_minsum' takes the code as a (base, Z) tuple, "
+                    "not a lifted parity-check matrix"
+                )
+            base, Z = H
+            backend = self.backend
+            if backend == "auto":
+                import jax
+
+                backend = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+            return lt.QCMinSumDecoder(
+                base, Z, self.per, self.max_iters,
+                alpha=1.0 if self.alpha is None else self.alpha,
+                beta=self.beta, backend=backend, batch_tile=self.batch_tile,
+            )
         if k == "bp":
             return lt.BeliefPropagationDecoder(H, self.per, self.max_iters)
         if k == "bposd":

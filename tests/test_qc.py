@@ -136,3 +136,66 @@ def test_qc_decoder_validation(small_qc):
     assert dec.supports_per_override is False
     with pytest.raises(ValueError, match="prior override"):
         dec.batch_decode(np.zeros((4, dec.m), np.int8), per=0.01)
+
+
+def test_config_builds_qc_decoder(small_qc):
+    from ldpcdecoders_tpu.config import DecoderConfig
+
+    base, Z, H = small_qc
+    cfg = DecoderConfig(kind="qc_minsum", per=0.02, max_iters=15)
+    assert DecoderConfig.from_json(cfg.to_json()) == cfg
+    dec = cfg.build((base, Z))  # backend='auto' -> xla on CPU
+    assert isinstance(dec, lt.QCMinSumDecoder)
+    assert dec.backend == "xla"
+    rng = np.random.default_rng(9)
+    err = (rng.random(dec.n) < 0.01).astype(np.int8)
+    out, conv = dec.decode((H @ err) % 2)
+    assert conv and np.array_equal(out, err)
+    with pytest.raises(ValueError, match=r"\(base, Z\) tuple"):
+        cfg.build(H)  # a lifted flat matrix loses the circulant structure
+
+
+def test_cli_bench_qc(capsys):
+    from ldpcdecoders_tpu.cli import main
+
+    rc = main(
+        [
+            "bench",
+            "--code", "qc:6,3,2,16",
+            "--decoder", "qc_minsum",
+            "--batch", "32",
+            "--max-iters", "20",
+            "--reps", "2",
+        ]
+    )
+    assert rc == 0
+    import json
+
+    out = json.loads(capsys.readouterr().out)
+    assert out["decoder"] == "qc_minsum" and out["syndromes_per_s"] > 0
+
+
+def test_cli_qc_decoder_requires_qc_code():
+    from ldpcdecoders_tpu.cli import main
+
+    with pytest.raises(SystemExit, match="quasi-cyclic"):
+        main(["bench", "--code", "gallager:120,6,3", "--decoder", "qc_minsum"])
+
+
+def test_cli_qcbase_file_spec(tmp_path, capsys):
+    from ldpcdecoders_tpu.cli import main
+
+    base = random_qc_base_matrix(6, 3, 2, 16, rng=5)
+    path = tmp_path / "base.txt"
+    save_base_matrix(base, 16, path)
+    rc = main(
+        [
+            "bench",
+            "--code", f"qcbase:{path}",
+            "--decoder", "qc_minsum",
+            "--batch", "16",
+            "--max-iters", "10",
+            "--reps", "1",
+        ]
+    )
+    assert rc == 0
