@@ -26,6 +26,11 @@ from .codes import (
     random_qc_base_matrix,
     save_base_matrix,
     load_base_matrix,
+    bb_poly_matrix,
+    bivariate_bicycle_code,
+    css_code_k,
+    named_bicycle_code,
+    BICYCLE_CODES,
 )
 from .models import (
     Decoder,

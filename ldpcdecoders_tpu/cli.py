@@ -38,6 +38,9 @@ def _build_code(spec: str):
         return lt.repetition_code(int(args)), None
     if kind == "hamming":
         return lt.hamming_code(int(args)), None
+    if kind == "bicycle":
+        Hx, _, _ = lt.named_bicycle_code(args)
+        return Hx, None  # X stabilizer block (as toric:d uses toric_code_x)
     if kind == "qc":
         nb, wr, wc, Z = (int(x) for x in args.split(","))
         base = lt.random_qc_base_matrix(nb, wr, wc, Z, rng=42)
@@ -88,7 +91,7 @@ def main(argv=None):
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     common = argparse.ArgumentParser(add_help=False)
-    common.add_argument("--code", required=True, help="gallager:n,wr,wc | toric:d | surface:d | repetition:n | hamming:r | qc:nb,wr,wc,Z | qcbase:path | pcm:path | npz:path")
+    common.add_argument("--code", required=True, help="gallager:n,wr,wc | toric:d | surface:d | repetition:n | hamming:r | qc:nb,wr,wc,Z | qcbase:path | bicycle:name | pcm:path | npz:path")
     common.add_argument("--decoder", default="bposd")
     common.add_argument("--max-iters", type=int, default=100)
     common.add_argument("--osd-order", type=int, default=0)

@@ -7,6 +7,13 @@ from .qc import (
     save_base_matrix,
     load_base_matrix,
 )
+from .bicycle import (
+    bb_poly_matrix,
+    bivariate_bicycle_code,
+    css_code_k,
+    named_bicycle_code,
+    BICYCLE_CODES,
+)
 from .css import (
     toric_code_x,
     toric_code_z,
@@ -29,6 +36,11 @@ __all__ = [
     "random_qc_base_matrix",
     "save_base_matrix",
     "load_base_matrix",
+    "bb_poly_matrix",
+    "bivariate_bicycle_code",
+    "css_code_k",
+    "named_bicycle_code",
+    "BICYCLE_CODES",
     "toric_code_x",
     "toric_code_z",
     "surface_code_x",

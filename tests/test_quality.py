@@ -12,6 +12,9 @@ import ldpcdecoders_tpu
 def test_doctests():
     for mod_name in (
         "ldpcdecoders_tpu.codes.gallager",
+        "ldpcdecoders_tpu.codes.qc",
+        "ldpcdecoders_tpu.codes.bicycle",
+        "ldpcdecoders_tpu.models.qc_minsum",
         "ldpcdecoders_tpu.config",
         "ldpcdecoders_tpu.utils.metrics",
         "ldpcdecoders_tpu.models.bp",
@@ -60,6 +63,8 @@ def test_top_level_api_surface():
         "BeliefPropagationDecoder", "BeliefPropagationOSDDecoder",
         "BitFlipDecoder", "BPOTSDecoder", "MinSumDecoder",
         "QuantizedMinSumDecoder", "LayeredMinSumDecoder", "BucketedDecoder",
+        "QCMinSumDecoder", "qc_lift", "random_qc_base_matrix",
+        "bivariate_bicycle_code", "named_bicycle_code", "css_code_k",
         "DecoderConfig", "enable_compilation_cache", "parallel",
     ]
     for name in expected:
