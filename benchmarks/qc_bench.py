@@ -18,33 +18,49 @@ import time
 import numpy as np
 
 
-def run(nb=24, Z=128, batch=512, per=0.01, max_iters=32, batch_tile=32, reps=5):
+def run(nb=24, Z=128, batch=512, per=0.01, max_iters=32, batch_tile=32, reps=5,
+        bicycle=None):
     import jax
 
     sys.path.insert(0, ".")
     import ldpcdecoders_tpu as lt
 
     lt.enable_compilation_cache()
-    base = lt.random_qc_base_matrix(nb, 6, 3, Z, rng=7)
-    Eb = int((base >= 0).sum())
-    E = Eb * Z
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if bicycle:
+        # one stabilizer block (Hx) of a bivariate bicycle quantum code:
+        # the 2-D group-shift form of the fused kernel
+        mk = lambda backend, **kw: lt.QCMinSumDecoder.for_bicycle(  # noqa: E731
+            bicycle, "x", per, max_iters, backend=backend, **kw
+        )
+        probe = mk("xla")
+        rows, cols = np.nonzero(np.asarray(probe.graph.H))
+        m, n = probe.m, probe.n
+        E = len(rows)
+        config_extra = {"bicycle": bicycle}
+        decs = {
+            "xla": probe,
+            "pallas": mk("pallas", batch_tile=batch_tile, interpret=not on_tpu),
+        }
+    else:
+        base = lt.random_qc_base_matrix(nb, 6, 3, Z, rng=7)
+        Eb = int((base >= 0).sum())
+        E = Eb * Z
+        rows, cols, m, n = lt.qc_lift_edges(base, Z)
+        config_extra = {"nb": nb, "Z": Z}
+        decs = {
+            "xla": lt.QCMinSumDecoder(base, Z, per, max_iters, backend="xla"),
+            "pallas": lt.QCMinSumDecoder(
+                base, Z, per, max_iters, backend="pallas",
+                batch_tile=batch_tile, interpret=not on_tpu,
+            ),
+        }
 
     rng = np.random.default_rng(0)
-    rows, cols, m, n = lt.qc_lift_edges(base, Z)
     errs = (rng.random((batch, n)) < per).astype(np.int8)
     syn = np.zeros((batch, m), np.int8)
-    np.add.at(syn, (slice(None),), 0)  # keep syn int8
     for r, c in zip(rows, cols):
         syn[:, r] ^= errs[:, c]
-
-    on_tpu = jax.devices()[0].platform == "tpu"
-    decs = {
-        "xla": lt.QCMinSumDecoder(base, Z, per, max_iters, backend="xla"),
-        "pallas": lt.QCMinSumDecoder(
-            base, Z, per, max_iters, backend="pallas",
-            batch_tile=batch_tile, interpret=not on_tpu,
-        ),
-    }
 
     results = {}
     outs = {}
@@ -84,7 +100,7 @@ def run(nb=24, Z=128, batch=512, per=0.01, max_iters=32, batch_tile=32, reps=5):
         and np.array_equal(outs["xla"][1], outs["pallas"][1])
     )
     out = {
-        "config": {"nb": nb, "Z": Z, "n": n, "m": m, "edges": E,
+        "config": {**config_extra, "n": n, "m": m, "edges": E,
                    "per": per, "max_iters": max_iters, "batch": batch,
                    "batch_tile": batch_tile},
         "cases": results,
@@ -106,5 +122,8 @@ if __name__ == "__main__":
     ap.add_argument("--per", type=float, default=0.01)
     ap.add_argument("--max-iters", type=int, default=32)
     ap.add_argument("--batch-tile", type=int, default=32)
+    ap.add_argument("--bicycle", type=str, default=None,
+                    help="benchmark a bivariate bicycle code's Hx block "
+                    "(e.g. bb144) instead of a random 1-D QC code")
     a = ap.parse_args()
-    run(a.nb, a.Z, a.batch, a.per, a.max_iters, a.batch_tile)
+    run(a.nb, a.Z, a.batch, a.per, a.max_iters, a.batch_tile, bicycle=a.bicycle)

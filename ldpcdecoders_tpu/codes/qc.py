@@ -29,6 +29,7 @@ from .gallager import parity_check_matrix
 __all__ = [
     "qc_lift",
     "qc_lift_edges",
+    "qc_group_lift_edges",
     "random_qc_base_matrix",
     "save_base_matrix",
     "load_base_matrix",
@@ -67,6 +68,50 @@ def qc_lift_edges(base, Z: int):
     r = np.arange(Z, dtype=np.int64)
     rows = (bi[:, None] * Z + r[None, :]).reshape(-1)
     cols = (bj[:, None] * Z + (r[None, :] + shifts[:, None]) % Z).reshape(-1)
+    return rows, cols, mb * Z, nb * Z
+
+
+def qc_group_lift_edges(terms, mb: int, nb: int, l: int, m: int):
+    """Expand 2-D group-circulant edge terms into the lifted COO edge list.
+
+    The generalization of :func:`qc_lift_edges` from the cyclic group
+    ``Z_Z`` to ``Z_l x Z_m`` (the "bivariate" structure of bicycle
+    quantum codes, codes/bicycle.py): each term ``(i, j, a, b)`` places
+    the monomial ``x^a y^b`` in block ``(i, j)``, connecting lifted
+    check ``i*Z + w`` (where ``w`` flattens the group element
+    ``(u, v) = divmod(w, m)``) to lifted variable
+    ``j*Z + ((u+a)%l)*m + (v+b)%m`` with ``Z = l*m``.
+
+    Multiple terms may share a block; duplicate terms are rejected
+    (they would cancel over GF(2), leaving a phantom double edge in the
+    Tanner graph).  Returns ``(rows, cols, m_checks, n)``.
+
+    Example:
+      >>> rows, cols, mc, n = qc_group_lift_edges([(0, 0, 0, 1)], 1, 1, 2, 2)
+      >>> (mc, n), sorted(zip(rows.tolist(), cols.tolist()))
+      ((4, 4), [(0, 1), (1, 0), (2, 3), (3, 2)])
+    """
+    if l < 1 or m < 1:
+        raise ValueError(f"group sizes must be >= 1, got l={l}, m={m}")
+    Z = l * m
+    seen = set()
+    for t in terms:
+        i, j, a, b = (int(x) for x in t)
+        if not (0 <= i < mb and 0 <= j < nb):
+            raise ValueError(f"term {t}: block ({i}, {j}) outside [{mb}, {nb}]")
+        if not (0 <= a < l and 0 <= b < m):
+            raise ValueError(f"term {t}: shift ({a}, {b}) outside Z_{l} x Z_{m}")
+        if (i, j, a, b) in seen:
+            raise ValueError(f"duplicate term {(i, j, a, b)} (cancels over GF(2))")
+        seen.add((i, j, a, b))
+    w = np.arange(Z, dtype=np.int64)
+    u, v = np.divmod(w, m)
+    rows_parts, cols_parts = [], []
+    for i, j, a, b in sorted(seen):
+        rows_parts.append(i * Z + w)
+        cols_parts.append(j * Z + ((u + a) % l) * m + (v + b) % m)
+    rows = np.concatenate(rows_parts) if rows_parts else np.zeros(0, np.int64)
+    cols = np.concatenate(cols_parts) if cols_parts else np.zeros(0, np.int64)
     return rows, cols, mb * Z, nb * Z
 
 

@@ -1,22 +1,32 @@
-"""Quasi-cyclic min-sum decoder: the fully-fused VMEM-resident TPU path.
+"""Quasi-cyclic / group-circulant min-sum decoder: the fused VMEM path.
 
-``QCMinSumDecoder`` decodes codes built by lifting a QC base matrix
-(codes/qc.py).  Two backends share one semantics (normalized/offset
-min-sum, per-lane early stop):
+``QCMinSumDecoder`` decodes codes with circulant block structure.  Two
+backends share one semantics (normalized/offset min-sum, per-lane early
+stop):
 
   * ``backend='pallas'`` — the whole decode (every BP iteration, the
     syndrome check, the early exit) runs as ONE Pallas kernel with all
-    messages resident in VMEM (ops/pallas_qc.py).  Cross-layout moves are
-    static cyclic rolls, so no HBM round-trips happen between iterations —
-    the structural win that arbitrary-graph codes cannot get on today's
-    Mosaic (no in-kernel gather; see docs/ROADMAP.md).
+    messages resident in VMEM (ops/pallas_qc.py).  Cross-layout moves
+    are static cyclic rolls (plus a select for 2-D group shifts), so no
+    HBM round-trips happen between iterations — the structural win that
+    arbitrary-graph codes cannot get on today's Mosaic (no in-kernel
+    gather; see docs/ROADMAP.md).
   * ``backend='xla'`` — the generic edge-list decoder
-    (models/minsum.py) on the lifted Tanner graph; the correctness oracle
-    and the portable fallback.
+    (models/minsum.py) on the lifted Tanner graph; the correctness
+    oracle and the portable fallback.
 
-The lifted graph orders each check's neighbors by ascending variable
-index, matching the generic decoder's slot order, so the two backends
-tie-break identically.
+Three construction paths:
+
+  * ``QCMinSumDecoder(base, Z, ...)`` — 1-D quasi-cyclic base matrix
+    (codes/qc.py); the lifted graph orders each check's neighbors by
+    ascending variable index, matching the generic decoder's slot
+    order, so the two backends tie-break identically (bitwise parity).
+  * ``QCMinSumDecoder.from_group_terms(terms, mb, nb, group, ...)`` —
+    2-D group-circulant edge terms over ``Z_l x Z_m``
+    (codes/qc.py::qc_group_lift_edges).
+  * ``QCMinSumDecoder.for_bicycle(code, block, ...)`` — one stabilizer
+    block (Hx or Hz) of a bivariate bicycle quantum code
+    (codes/bicycle.py); transposed blocks use inverse monomials.
 """
 
 from __future__ import annotations
@@ -26,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..codes.graph import TannerGraph
-from ..codes.qc import qc_lift_edges
+from ..codes.qc import qc_group_lift_edges, qc_lift_edges
 from .base import Decoder
 from .minsum import make_minsum_decode_fn
 from .priors import per_to_llr
@@ -35,7 +45,7 @@ __all__ = ["QCMinSumDecoder"]
 
 
 class QCMinSumDecoder(Decoder):
-    """Normalized/offset min-sum decoder for quasi-cyclic LDPC codes.
+    """Normalized/offset min-sum decoder for group-circulant LDPC codes.
 
     Args:
       base: ``[mb, nb]`` QC base matrix (-1 = zero block, else circulant
@@ -82,13 +92,112 @@ class QCMinSumDecoder(Decoder):
     ):
         base = np.asarray(base, dtype=np.int64)
         rows, cols, m, n = qc_lift_edges(base, Z)
+        mb, nb = base.shape
+        bi, bj = np.nonzero(base >= 0)
+        terms = [(int(i), int(j), int(base[i, j]), 0) for i, j in zip(bi, bj)]
+        self.base = base
+        self._setup(
+            terms, mb, nb, (int(Z), 1), rows, cols, per, max_iters,
+            alpha=alpha, beta=beta, backend=backend,
+            batch_tile=batch_tile, interpret=interpret,
+        )
+
+    @classmethod
+    def from_group_terms(
+        cls,
+        terms,
+        mb: int,
+        nb: int,
+        group: tuple[int, int],
+        per: float,
+        max_iters: int,
+        *,
+        alpha: float = 1.0,
+        beta: float = 0.0,
+        backend: str = "pallas",
+        batch_tile: int = 32,
+        interpret: bool = False,
+    ) -> "QCMinSumDecoder":
+        """Build from 2-D group-circulant edge terms over ``Z_l x Z_m``.
+
+        ``terms`` is a list of ``(i, j, a, b)``: the monomial ``x^a y^b``
+        in block ``(i, j)`` (multiple terms per block allowed).  See
+        codes/qc.py::qc_group_lift_edges for the lifting convention.
+        """
+        gl, gm = (int(x) for x in group)
+        terms = [tuple(int(x) for x in t) for t in terms]
+        rows, cols, m, n = qc_group_lift_edges(terms, mb, nb, gl, gm)
+        self = cls.__new__(cls)
+        self.base = None
+        self._setup(
+            terms, int(mb), int(nb), (gl, gm), rows, cols, per, max_iters,
+            alpha=alpha, beta=beta, backend=backend,
+            batch_tile=batch_tile, interpret=interpret,
+        )
+        return self
+
+    @classmethod
+    def for_bicycle(cls, code, block: str, per: float, max_iters: int, **kwargs) -> "QCMinSumDecoder":
+        """Decoder for one stabilizer block of a bivariate bicycle code.
+
+        Args:
+          code: a registry name ("bb144", ...) or ``(l, m, a_terms,
+            b_terms)`` tuple (codes/bicycle.py conventions).
+          block: 'x' for ``Hx = [A | B]`` or 'z' for ``Hz = [B^T | A^T]``
+            (transposed monomial blocks become inverse monomials).
+          **kwargs: forwarded to :meth:`from_group_terms`.
+
+        Example:
+
+        >>> from ldpcdecoders_tpu import QCMinSumDecoder
+        >>> dec = QCMinSumDecoder.for_bicycle("bb72", "x", 0.01, 30,
+        ...                                   backend='xla')
+        >>> dec.m, dec.n
+        (36, 72)
+        """
+        if isinstance(code, str):
+            from ..codes.bicycle import BICYCLE_CODES
+
+            if code not in BICYCLE_CODES:
+                raise ValueError(
+                    f"unknown BB code '{code}' (choose from {sorted(BICYCLE_CODES)})"
+                )
+            info = BICYCLE_CODES[code]
+            l, m, a_terms, b_terms = info["l"], info["m"], info["a_terms"], info["b_terms"]
+        else:
+            l, m, a_terms, b_terms = code
+        l, m = int(l), int(m)
+
+        def fwd(ts):
+            return [(int(a) % l, int(b) % m) for a, b in ts]
+
+        def inv(ts):
+            return [((l - int(a)) % l, (m - int(b)) % m) for a, b in ts]
+
+        if block == "x":  # Hx = [A | B]
+            blocks = (fwd(a_terms), fwd(b_terms))
+        elif block == "z":  # Hz = [B^T | A^T]; transpose of x^a y^b is its inverse
+            blocks = (inv(b_terms), inv(a_terms))
+        else:
+            raise ValueError(f"block must be 'x' or 'z', got {block!r}")
+        terms = [(0, j, a, b) for j, ts in enumerate(blocks) for a, b in ts]
+        return cls.from_group_terms(terms, 1, 2, (l, m), per, max_iters, **kwargs)
+
+    def _setup(
+        self, terms, mb, nb, group, rows, cols, per, max_iters,
+        *, alpha, beta, backend, batch_tile, interpret,
+    ):
+        gl, gm = group
+        Z = gl * gm
+        m, n = mb * Z, nb * Z
         H = None
         if m * n <= 4_000_000:  # attach dense H only at debug-tool sizes
             H = np.zeros((m, n), np.uint8)
             H[rows, cols] = 1
         self.graph = TannerGraph.from_edges(rows, cols, m, n, H=H)
-        self.base = base
-        self.Z = int(Z)
+        self.terms = terms
+        self.group = (gl, gm)
+        self.Z = Z
         self.m, self.n = m, n
         self.per = float(per)
         self.max_iters = int(max_iters)
@@ -97,12 +206,14 @@ class QCMinSumDecoder(Decoder):
         self.backend = backend
         self.batch_tile = int(batch_tile)
         if backend == "pallas":
-            from ..ops.pallas_qc import make_qc_minsum_pallas_fn
+            from ..ops.pallas_qc import make_group_qc_minsum_pallas_fn
 
             self.supports_per_override = False  # the kernel bakes the prior
-            self._decode_fn = make_qc_minsum_pallas_fn(
-                base,
-                Z,
+            self._decode_fn = make_group_qc_minsum_pallas_fn(
+                terms,
+                mb,
+                nb,
+                (gl, gm),
                 float(per_to_llr(self.per, 1)),
                 self.max_iters,
                 alpha=self.alpha,

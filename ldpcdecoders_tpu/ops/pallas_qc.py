@@ -1,4 +1,4 @@
-"""Fully VMEM-resident QC-LDPC min-sum decode kernel (Pallas TPU).
+"""Fully VMEM-resident group-circulant LDPC min-sum decode kernel (Pallas TPU).
 
 The general edge-list decoders (models/minsum.py) are HBM-bandwidth bound:
 every iteration's cross-layout gathers round-trip the ``[B, E]`` message
@@ -6,24 +6,39 @@ arrays through HBM, and Mosaic has no arbitrary-gather primitive, so the
 whole decode cannot be fused into one kernel (measured + documented in
 ops/pallas_minsum.py and docs/ROADMAP.md).
 
-Quasi-cyclic codes remove that blocker: with messages laid out
-``[base_edge, batch_tile, Z]``, the check<->variable permutation of every
-circulant block ``P^s`` is a *static cyclic shift by s along the lane (Z)
-axis* — exactly ``pltpu.roll``.  This kernel keeps all messages in VMEM
-across every BP iteration; HBM sees only the syndrome read and the final
-error/LLR write.  The base matrix is baked in at trace time, so the
-per-edge loop is fully unrolled with static shifts.
+Group-structured codes remove that blocker.  With messages laid out
+``[base_edge, batch_tile, Z]`` where the lane axis flattens a finite
+abelian group ``Z_l x Z_m`` (``Z = l*m``), the check<->variable
+permutation of every monomial block ``x^a y^b`` is *static*:
+
+  * the ``x^a`` part is a global cyclic shift by ``a*m`` lanes
+    (``pltpu.roll``), because ``((u+a)%l)*m + v == (w + a*m) mod Z``;
+  * the ``y^b`` part is a blockwise shift, expressible as a select
+    between two global rolls (offset ``b`` vs ``b - m``) keyed on the
+    static mask ``v < m - b`` of each lane's minor coordinate.
+
+Plain quasi-cyclic codes (codes/qc.py) are the ``m == 1`` special case
+(one roll, no select); bivariate bicycle quantum codes (codes/bicycle.py)
+use the full 2-D form for each stabilizer block.  The kernel keeps all
+messages in VMEM across every BP iteration; HBM sees only the syndrome
+read and the final error/LLR write.  Edge terms are baked in at trace
+time, so the per-edge loop is fully unrolled with static shifts.
 
 Semantics match models/minsum.py's normalized/offset min-sum (two-min
-exclusive reduction, first-minimum tie-breaking, per-lane early freeze of
-the err/LLR outputs, while-loop early exit when every lane in the batch
-tile has converged).
+exclusive reduction, per-lane early freeze of the err/LLR outputs,
+while-loop early exit when every lane in the batch tile has converged).
+Caveat vs the lifted-graph XLA oracle: the two-min exclusive reduction
+is order-independent, but the variable update's float *summation order*
+follows base-term order rather than ascending lifted check index, so
+for multi-term blocks outputs can differ from the oracle in the last
+ulp (single-term-per-block 1-D codes match bitwise; tests pin both).
 
-Orientation convention (see codes/qc.py): lifted check ``i*Z + r``
-connects to lifted variable ``j*Z + (r + s) % Z``.  A var-oriented
-``[_, Z]`` vector ``v`` (indexed by the variable's residue) maps to check
-orientation as ``roll(v, -s)`` and back with ``roll(., +s)`` since
-``np.roll(x, s)[c] == x[(c - s) % Z]``.
+Orientation convention (see codes/qc.py): lifted check ``i*Z + w`` with
+``(u, v) = divmod(w, m)`` connects to lifted variable
+``j*Z + sigma(w)`` where ``sigma(w) = ((u+a)%l)*m + (v+b)%m``.  A
+var-oriented ``[_, Z]`` vector maps to check orientation by gathering at
+``sigma`` (roll/select above) and back with the inverse shift
+``((l-a)%l, (m-b)%m)``.
 """
 
 from __future__ import annotations
@@ -36,29 +51,30 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["make_qc_minsum_pallas_fn", "qc_base_adjacency"]
+__all__ = [
+    "make_qc_minsum_pallas_fn",
+    "make_group_qc_minsum_pallas_fn",
+    "qc_term_adjacency",
+]
 
 
-def qc_base_adjacency(base: np.ndarray):
-    """Static per-row / per-column edge lists of a QC base matrix.
+def qc_term_adjacency(terms, mb: int, nb: int):
+    """Static per-block-row / per-block-column edge lists.
 
-    Returns ``(edges, row_edges, col_edges)`` where ``edges`` is a list of
-    ``(i, j, shift)`` in row-major order (ascending j within a row — the
-    same neighbor order as the lifted graph's ascending-variable-index
-    convention), ``row_edges[i]`` / ``col_edges[j]`` hold indices into it.
+    ``terms`` is an iterable of ``(i, j, a, b)``; returns
+    ``(edges, row_edges, col_edges)`` where ``edges`` is the sorted term
+    list (block-row-major, ascending block column then shift — the same
+    deterministic order codes/qc.py::qc_group_lift_edges emits) and
+    ``row_edges[i]`` / ``col_edges[j]`` hold indices into it.
     """
-    base = np.asarray(base, dtype=np.int64)
-    mb, nb = base.shape
-    edges = []
+    edges = sorted((int(i), int(j), int(a), int(b)) for i, j, a, b in terms)
+    if len(set(edges)) != len(edges):
+        raise ValueError("duplicate edge terms (cancel over GF(2))")
     row_edges = [[] for _ in range(mb)]
     col_edges = [[] for _ in range(nb)]
-    for i in range(mb):
-        for j in range(nb):
-            s = int(base[i, j])
-            if s >= 0:
-                row_edges[i].append(len(edges))
-                col_edges[j].append(len(edges))
-                edges.append((i, j, s))
+    for e, (i, j, _, _) in enumerate(edges):
+        row_edges[i].append(e)
+        col_edges[j].append(e)
     for i, r in enumerate(row_edges):
         if not r:
             raise ValueError(f"base row {i} has no edges")
@@ -68,28 +84,33 @@ def qc_base_adjacency(base: np.ndarray):
     return edges, row_edges, col_edges
 
 
-def make_qc_minsum_pallas_fn(
-    base,
-    Z: int,
+def make_group_qc_minsum_pallas_fn(
+    terms,
+    mb: int,
+    nb: int,
+    group: tuple[int, int],
     L0: float,
     max_iters: int,
     *,
     alpha: float = 1.0,
     beta: float = 0.0,
-    batch_tile: int = 8,
+    batch_tile: int = 32,
     interpret: bool = False,
 ):
     """Build ``syndromes [B, mb*Z] -> (err i8, converged bool, iters i32, llrs f32)``.
 
     ``B`` must be a multiple of ``batch_tile`` (callers pad).  ``L0`` is
     the scalar channel LLR (baked into the kernel, like the other Pallas
-    paths — no per-call prior overrides).  The fast compiled path wants
-    ``Z`` a multiple of 128 (full lanes); any ``Z`` works in interpret
-    mode and small ``Z`` merely pads lanes when compiled.
+    paths — no per-call prior overrides).  ``group = (l, m)`` with
+    ``Z = l*m``; the fast compiled path wants ``Z`` a multiple of 128
+    (full lanes); any ``Z`` works in interpret mode and small ``Z``
+    merely pads lanes when compiled.
     """
-    base = np.asarray(base, dtype=np.int64)
-    mb, nb = base.shape
-    edges, row_edges, col_edges = qc_base_adjacency(base)
+    gl, gm = (int(x) for x in group)
+    if gl < 1 or gm < 1:
+        raise ValueError(f"group sizes must be >= 1, got {group}")
+    Z = gl * gm
+    edges, row_edges, col_edges = qc_term_adjacency(terms, mb, nb)
     Eb = len(edges)
     L0 = float(L0)
     alpha = float(alpha)
@@ -98,8 +119,33 @@ def make_qc_minsum_pallas_fn(
     f32 = jnp.float32
 
     def kernel(syn_ref, err_ref, llr_ref, conv_ref, iters_ref, nu_ref, mu_ref):
-        # init: nu = channel prior everywhere (var-oriented == check-oriented
-        # for a constant), outputs = iteration-0 state
+        # lane minor coordinate v (for the blockwise y-shift select);
+        # built once, reused by every masked shift
+        vmask_cache: dict[int, jax.Array] = {}
+
+        def vmask(b):
+            if b not in vmask_cache:
+                lane_v = jax.lax.broadcasted_iota(jnp.int32, (BT, Z), 1) % gm
+                vmask_cache[b] = lane_v < (gm - b)
+            return vmask_cache[b]
+
+        def apply_shift(x, a, b):
+            """out[w] = x[sigma_{(a,b)}(w)] — gather at the monomial shift."""
+            c1 = (a * gm + b) % Z
+            if b == 0:
+                return pltpu.roll(x, (-c1) % Z, 1) if c1 else x
+            c2 = (a * gm + b - gm) % Z
+            return jnp.where(
+                vmask(b),
+                pltpu.roll(x, (-c1) % Z, 1),
+                pltpu.roll(x, (-c2) % Z, 1),
+            )
+
+        def inv(a, b):
+            return (gl - a) % gl, (gm - b) % gm
+
+        # init: nu = channel prior everywhere (var-oriented == check-
+        # oriented for a constant), outputs = iteration-0 state
         prior = jnp.full((BT, Z), L0, f32)
         for e in range(Eb):
             nu_ref[e] = prior
@@ -121,11 +167,10 @@ def make_qc_minsum_pallas_fn(
             # -- check update: two-min + sign parity per base row ---------
             for i in range(mb):
                 row = row_edges[i]
-                ncs, mags, negs = [], [], []
+                mags, negs = [], []
                 for e in row:
-                    _, _, s = edges[e]
-                    nc = pltpu.roll(nu_ref[e], -s % Z, 1)  # check orientation
-                    ncs.append(nc)
+                    _, _, a, b = edges[e]
+                    nc = apply_shift(nu_ref[e], a, b)  # check orientation
                     mags.append(jnp.abs(nc))
                     negs.append(nc < 0.0)
                 min1 = mags[0]
@@ -140,12 +185,12 @@ def make_qc_minsum_pallas_fn(
                     min1 = jnp.where(smaller, v, min1)
                     parity = jnp.logical_xor(parity, negs[k])
                 for k, e in enumerate(row):
-                    _, _, s = edges[e]
+                    _, _, a, b = edges[e]
                     excl = jnp.where(idx1 == k, min2, min1)
                     flip = jnp.logical_xor(jnp.logical_xor(parity, negs[k]), syn_b[i])
                     mag_out = jnp.maximum(alpha * excl - beta, 0.0)
                     mu_co = jnp.where(flip, -mag_out, mag_out)
-                    mu_ref[e] = pltpu.roll(mu_co, s % Z, 1)  # var orientation
+                    mu_ref[e] = apply_shift(mu_co, *inv(a, b))  # var orientation
 
             # -- variable update + frozen outputs -------------------------
             active = done < 1  # [BT, 1] bool (intermediate only)
@@ -165,8 +210,8 @@ def make_qc_minsum_pallas_fn(
             for i in range(mb):
                 par = jnp.zeros((BT, Z), jnp.int32)
                 for e in row_edges[i]:
-                    _, j, s = edges[e]
-                    par = jnp.bitwise_xor(par, pltpu.roll(err_ref[j], -s % Z, 1))
+                    _, j, a, b = edges[e]
+                    par = jnp.bitwise_xor(par, apply_shift(err_ref[j], a, b))
                 ok = ok & jnp.all((par != 0) == syn_b[i], axis=1, keepdims=True).astype(
                     jnp.int32
                 )
@@ -220,3 +265,26 @@ def make_qc_minsum_pallas_fn(
         return err, conv[:, 0].astype(bool), iters[:, 0], llrs
 
     return decode
+
+
+def make_qc_minsum_pallas_fn(
+    base,
+    Z: int,
+    L0: float,
+    max_iters: int,
+    *,
+    alpha: float = 1.0,
+    beta: float = 0.0,
+    batch_tile: int = 32,
+    interpret: bool = False,
+):
+    """1-D quasi-cyclic wrapper: base-matrix shifts over the cyclic group
+    ``Z_Z`` (group ``(Z, 1)`` — every shift is a single global roll)."""
+    base = np.asarray(base, dtype=np.int64)
+    mb, nb = base.shape
+    bi, bj = np.nonzero(base >= 0)
+    terms = [(int(i), int(j), int(base[i, j]), 0) for i, j in zip(bi, bj)]
+    return make_group_qc_minsum_pallas_fn(
+        terms, mb, nb, (int(Z), 1), L0, max_iters,
+        alpha=alpha, beta=beta, batch_tile=batch_tile, interpret=interpret,
+    )
