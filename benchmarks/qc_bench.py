@@ -19,7 +19,7 @@ import numpy as np
 
 
 def run(nb=24, Z=128, batch=512, per=0.01, max_iters=32, batch_tile=32, reps=5,
-        bicycle=None):
+        bicycle=None, schedule="flooding"):
     import jax
 
     sys.path.insert(0, ".")
@@ -31,7 +31,7 @@ def run(nb=24, Z=128, batch=512, per=0.01, max_iters=32, batch_tile=32, reps=5,
         # one stabilizer block (Hx) of a bivariate bicycle quantum code:
         # the 2-D group-shift form of the fused kernel
         mk = lambda backend, **kw: lt.QCMinSumDecoder.for_bicycle(  # noqa: E731
-            bicycle, "x", per, max_iters, backend=backend, **kw
+            bicycle, "x", per, max_iters, backend=backend, schedule=schedule, **kw
         )
         probe = mk("xla")
         rows, cols = np.nonzero(np.asarray(probe.graph.H))
@@ -49,9 +49,11 @@ def run(nb=24, Z=128, batch=512, per=0.01, max_iters=32, batch_tile=32, reps=5,
         rows, cols, m, n = lt.qc_lift_edges(base, Z)
         config_extra = {"nb": nb, "Z": Z}
         decs = {
-            "xla": lt.QCMinSumDecoder(base, Z, per, max_iters, backend="xla"),
+            "xla": lt.QCMinSumDecoder(
+                base, Z, per, max_iters, backend="xla", schedule=schedule
+            ),
             "pallas": lt.QCMinSumDecoder(
-                base, Z, per, max_iters, backend="pallas",
+                base, Z, per, max_iters, backend="pallas", schedule=schedule,
                 batch_tile=batch_tile, interpret=not on_tpu,
             ),
         }
@@ -102,7 +104,7 @@ def run(nb=24, Z=128, batch=512, per=0.01, max_iters=32, batch_tile=32, reps=5,
     out = {
         "config": {**config_extra, "n": n, "m": m, "edges": E,
                    "per": per, "max_iters": max_iters, "batch": batch,
-                   "batch_tile": batch_tile},
+                   "batch_tile": batch_tile, "schedule": schedule},
         "cases": results,
         "backends_bitwise_agree": agree,
         "speedup_pallas_vs_xla": round(
@@ -125,5 +127,8 @@ if __name__ == "__main__":
     ap.add_argument("--bicycle", type=str, default=None,
                     help="benchmark a bivariate bicycle code's Hx block "
                     "(e.g. bb144) instead of a random 1-D QC code")
+    ap.add_argument("--schedule", default="flooding",
+                    choices=("flooding", "layered"))
     a = ap.parse_args()
-    run(a.nb, a.Z, a.batch, a.per, a.max_iters, a.batch_tile, bicycle=a.bicycle)
+    run(a.nb, a.Z, a.batch, a.per, a.max_iters, a.batch_tile,
+        bicycle=a.bicycle, schedule=a.schedule)

@@ -61,6 +61,8 @@ class DecoderConfig:
     backend: str = "auto"
     #: qc_minsum only: Pallas batch-tile size
     batch_tile: int = 32
+    #: qc_minsum only: 'flooding' or 'layered' (serial-C over base rows)
+    schedule: str = "flooding"
 
     def __post_init__(self):
         if self.kind not in _KINDS:
@@ -90,8 +92,8 @@ class DecoderConfig:
                 backend = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
             return lt.QCMinSumDecoder(
                 base, Z, self.per, self.max_iters,
-                alpha=1.0 if self.alpha is None else self.alpha,
-                beta=self.beta, backend=backend, batch_tile=self.batch_tile,
+                alpha=self.alpha, beta=self.beta, backend=backend,
+                batch_tile=self.batch_tile, schedule=self.schedule,
             )
         if k == "bp":
             return lt.BeliefPropagationDecoder(H, self.per, self.max_iters)

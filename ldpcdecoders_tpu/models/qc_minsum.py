@@ -53,10 +53,18 @@ class QCMinSumDecoder(Decoder):
       Z: lift (circulant) size.  The compiled Pallas path is fastest with
         ``Z`` a multiple of 128 (full TPU lanes).
       per: physical error rate (sets the scalar channel LLR).
-      max_iters: maximum BP iterations.
-      alpha, beta: min-sum normalization / offset.
+      max_iters: maximum BP iterations (full sweeps for 'layered').
+      alpha, beta: min-sum normalization / offset.  alpha=None resolves
+        to the schedule default: 1.0 flooding, 0.8 layered (the layered
+        schedule amplifies min-sum's magnitude overestimate — see
+        models/layered.py for the measurement).
       backend: 'pallas' (fused whole-decode kernel) or 'xla' (generic
         edge-list decoder on the lifted graph).
+      schedule: 'flooding' (default) or 'layered' (serial-C over base
+        rows — conflict-free layers for single-term blocks, ~2x fewer
+        sweeps; the XLA backend uses its own greedy conflict-free
+        partition of the lifted graph, so the two backends match only
+        behaviorally under 'layered', not bitwise).
       batch_tile: Pallas batch-tile size (lanes decoded per kernel
         program); batches are padded up to a multiple of this.  32 is
         the measured sweet spot on v5e (amortizes per-op control
@@ -84,9 +92,10 @@ class QCMinSumDecoder(Decoder):
         per: float,
         max_iters: int,
         *,
-        alpha: float = 1.0,
+        alpha: float | None = None,
         beta: float = 0.0,
         backend: str = "pallas",
+        schedule: str = "flooding",
         batch_tile: int = 32,
         interpret: bool = False,
     ):
@@ -98,7 +107,7 @@ class QCMinSumDecoder(Decoder):
         self.base = base
         self._setup(
             terms, mb, nb, (int(Z), 1), rows, cols, per, max_iters,
-            alpha=alpha, beta=beta, backend=backend,
+            alpha=alpha, beta=beta, backend=backend, schedule=schedule,
             batch_tile=batch_tile, interpret=interpret,
         )
 
@@ -112,9 +121,10 @@ class QCMinSumDecoder(Decoder):
         per: float,
         max_iters: int,
         *,
-        alpha: float = 1.0,
+        alpha: float | None = None,
         beta: float = 0.0,
         backend: str = "pallas",
+        schedule: str = "flooding",
         batch_tile: int = 32,
         interpret: bool = False,
     ) -> "QCMinSumDecoder":
@@ -131,7 +141,7 @@ class QCMinSumDecoder(Decoder):
         self.base = None
         self._setup(
             terms, int(mb), int(nb), (gl, gm), rows, cols, per, max_iters,
-            alpha=alpha, beta=beta, backend=backend,
+            alpha=alpha, beta=beta, backend=backend, schedule=schedule,
             batch_tile=batch_tile, interpret=interpret,
         )
         return self
@@ -185,7 +195,7 @@ class QCMinSumDecoder(Decoder):
 
     def _setup(
         self, terms, mb, nb, group, rows, cols, per, max_iters,
-        *, alpha, beta, backend, batch_tile, interpret,
+        *, alpha, beta, backend, schedule, batch_tile, interpret,
     ):
         gl, gm = group
         Z = gl * gm
@@ -201,7 +211,14 @@ class QCMinSumDecoder(Decoder):
         self.m, self.n = m, n
         self.per = float(per)
         self.max_iters = int(max_iters)
-        self.alpha = float(alpha)
+        if schedule not in ("flooding", "layered"):
+            raise ValueError(
+                f"unknown schedule {schedule!r} (want 'flooding' or 'layered')"
+            )
+        self.schedule = schedule
+        self.alpha = float(alpha) if alpha is not None else (
+            0.8 if schedule == "layered" else 1.0
+        )
         self.beta = float(beta)
         self.backend = backend
         self.batch_tile = int(batch_tile)
@@ -219,14 +236,26 @@ class QCMinSumDecoder(Decoder):
                 alpha=self.alpha,
                 beta=self.beta,
                 batch_tile=self.batch_tile,
+                schedule=schedule,
                 interpret=interpret,
             )
         elif backend == "xla":
-            self._decode_fn = jax.jit(
-                make_minsum_decode_fn(
-                    self.graph, self.per, self.max_iters, alpha=self.alpha, beta=self.beta
+            if schedule == "layered":
+                from .layered import make_layered_minsum_fn
+
+                self._decode_fn = jax.jit(
+                    make_layered_minsum_fn(
+                        self.graph, self.per, self.max_iters,
+                        alpha=self.alpha, beta=self.beta,
+                    )
                 )
-            )
+            else:
+                self._decode_fn = jax.jit(
+                    make_minsum_decode_fn(
+                        self.graph, self.per, self.max_iters,
+                        alpha=self.alpha, beta=self.beta,
+                    )
+                )
         else:
             raise ValueError(f"unknown backend {backend!r} (want 'pallas' or 'xla')")
 

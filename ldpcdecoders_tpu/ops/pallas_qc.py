@@ -95,6 +95,7 @@ def make_group_qc_minsum_pallas_fn(
     alpha: float = 1.0,
     beta: float = 0.0,
     batch_tile: int = 32,
+    schedule: str = "flooding",
     interpret: bool = False,
 ):
     """Build ``syndromes [B, mb*Z] -> (err i8, converged bool, iters i32, llrs f32)``.
@@ -105,10 +106,23 @@ def make_group_qc_minsum_pallas_fn(
     ``Z = l*m``; the fast compiled path wants ``Z`` a multiple of 128
     (full lanes); any ``Z`` works in interpret mode and small ``Z``
     merely pads lanes when compiled.
+
+    ``schedule='flooding'`` updates every message from the previous
+    iteration's state.  ``schedule='layered'`` is the serial-C
+    block-layered schedule: base rows are processed in order, each
+    reading the LLR totals already updated by the rows before it
+    (within a row, all reads happen before any update — grouped
+    semantics).  For single-term-per-block codes a base row is a
+    conflict-free layer (lifted checks of one row touch disjoint
+    variables), the classic ~2x-fewer-sweeps schedule; multi-term
+    blocks get the same grouped-delta update, still well-defined.
+    ``max_iters`` counts full sweeps.
     """
     gl, gm = (int(x) for x in group)
     if gl < 1 or gm < 1:
         raise ValueError(f"group sizes must be >= 1, got {group}")
+    if schedule not in ("flooding", "layered"):
+        raise ValueError(f"unknown schedule {schedule!r} (want 'flooding' or 'layered')")
     Z = gl * gm
     edges, row_edges, col_edges = qc_term_adjacency(terms, mb, nb)
     Eb = len(edges)
@@ -116,9 +130,17 @@ def make_group_qc_minsum_pallas_fn(
     alpha = float(alpha)
     beta = float(beta)
     BT = int(batch_tile)
+    layered = schedule == "layered"
     f32 = jnp.float32
 
-    def kernel(syn_ref, err_ref, llr_ref, conv_ref, iters_ref, nu_ref, mu_ref):
+    def kernel(syn_ref, err_ref, llr_ref, conv_ref, iters_ref, s1_ref, s2_ref):
+        # scratch aliases: flooding carries per-edge nu and mu; layered
+        # carries per-edge mu plus per-block-column LLR totals
+        if layered:
+            mu_ref, tot_ref = s1_ref, s2_ref
+        else:
+            nu_ref, mu_ref = s1_ref, s2_ref
+
         # lane minor coordinate v (for the blockwise y-shift select);
         # built once, reused by every masked shift
         vmask_cache: dict[int, jax.Array] = {}
@@ -144,11 +166,42 @@ def make_group_qc_minsum_pallas_fn(
         def inv(a, b):
             return (gl - a) % gl, (gm - b) % gm
 
-        # init: nu = channel prior everywhere (var-oriented == check-
-        # oriented for a constant), outputs = iteration-0 state
+        def two_min_mu(ncs, syn_i):
+            """Two-min exclusive reduction over a base row's check-oriented
+            inputs; returns the per-edge check-oriented output messages."""
+            mags = [jnp.abs(nc) for nc in ncs]
+            negs = [nc < 0.0 for nc in ncs]
+            min1 = mags[0]
+            idx1 = jnp.zeros((BT, Z), jnp.int32)
+            min2 = jnp.full((BT, Z), jnp.inf, f32)
+            parity = negs[0]
+            for k in range(1, len(ncs)):
+                v = mags[k]
+                smaller = v < min1
+                min2 = jnp.where(smaller, min1, jnp.minimum(min2, v))
+                idx1 = jnp.where(smaller, k, idx1)
+                min1 = jnp.where(smaller, v, min1)
+                parity = jnp.logical_xor(parity, negs[k])
+            outs = []
+            for k in range(len(ncs)):
+                excl = jnp.where(idx1 == k, min2, min1)
+                flip = jnp.logical_xor(jnp.logical_xor(parity, negs[k]), syn_i)
+                mag_out = jnp.maximum(alpha * excl - beta, 0.0)
+                outs.append(jnp.where(flip, -mag_out, mag_out))
+            return outs
+
+        # init: outputs = iteration-0 state; flooding seeds nu with the
+        # channel prior (var-oriented == check-oriented for a constant),
+        # layered seeds zero messages and prior totals
         prior = jnp.full((BT, Z), L0, f32)
-        for e in range(Eb):
-            nu_ref[e] = prior
+        if layered:
+            for e in range(Eb):
+                mu_ref[e] = jnp.zeros((BT, Z), f32)
+            for j in range(nb):
+                tot_ref[j] = prior
+        else:
+            for e in range(Eb):
+                nu_ref[e] = prior
         for j in range(nb):
             err_ref[j] = jnp.zeros((BT, Z), jnp.int32)
             llr_ref[j] = prior
@@ -162,38 +215,19 @@ def make_group_qc_minsum_pallas_fn(
             it, done, _ = carry
             return (it < max_iters) & (jnp.min(done) < 1)
 
-        def body(carry):
-            it, done, iters = carry
+        def flooding_sweep(active):
             # -- check update: two-min + sign parity per base row ---------
             for i in range(mb):
                 row = row_edges[i]
-                mags, negs = [], []
+                ncs = []
                 for e in row:
                     _, _, a, b = edges[e]
-                    nc = apply_shift(nu_ref[e], a, b)  # check orientation
-                    mags.append(jnp.abs(nc))
-                    negs.append(nc < 0.0)
-                min1 = mags[0]
-                idx1 = jnp.zeros((BT, Z), jnp.int32)
-                min2 = jnp.full((BT, Z), jnp.inf, f32)
-                parity = negs[0]
-                for k in range(1, len(row)):
-                    v = mags[k]
-                    smaller = v < min1
-                    min2 = jnp.where(smaller, min1, jnp.minimum(min2, v))
-                    idx1 = jnp.where(smaller, k, idx1)
-                    min1 = jnp.where(smaller, v, min1)
-                    parity = jnp.logical_xor(parity, negs[k])
+                    ncs.append(apply_shift(nu_ref[e], a, b))  # check orientation
+                outs = two_min_mu(ncs, syn_b[i])
                 for k, e in enumerate(row):
                     _, _, a, b = edges[e]
-                    excl = jnp.where(idx1 == k, min2, min1)
-                    flip = jnp.logical_xor(jnp.logical_xor(parity, negs[k]), syn_b[i])
-                    mag_out = jnp.maximum(alpha * excl - beta, 0.0)
-                    mu_co = jnp.where(flip, -mag_out, mag_out)
-                    mu_ref[e] = apply_shift(mu_co, *inv(a, b))  # var orientation
-
-            # -- variable update + frozen outputs -------------------------
-            active = done < 1  # [BT, 1] bool (intermediate only)
+                    mu_ref[e] = apply_shift(outs[k], *inv(a, b))  # var orientation
+            # -- variable update + frozen outputs --------------------------
             for j in range(nb):
                 col = col_edges[j]
                 total = jnp.full((BT, Z), L0, f32)
@@ -204,6 +238,37 @@ def make_group_qc_minsum_pallas_fn(
                 errn = (total < 0.0).astype(jnp.int32)
                 err_ref[j] = jnp.where(active, errn, err_ref[j])
                 llr_ref[j] = jnp.where(active, total, llr_ref[j])
+
+        def layered_sweep(active):
+            # serial-C: each base row reads totals already updated by the
+            # rows before it; within a row all reads precede all updates
+            for i in range(mb):
+                row = row_edges[i]
+                ncs, olds = [], []
+                for e in row:
+                    _, j, a, b = edges[e]
+                    nu_vo = tot_ref[j] - mu_ref[e]
+                    olds.append(mu_ref[e])
+                    ncs.append(apply_shift(nu_vo, a, b))
+                outs = two_min_mu(ncs, syn_b[i])
+                for k, e in enumerate(row):
+                    _, j, a, b = edges[e]
+                    mu_new = apply_shift(outs[k], *inv(a, b))
+                    tot_ref[j] = tot_ref[j] + (mu_new - olds[k])
+                    mu_ref[e] = mu_new
+            for j in range(nb):
+                total = tot_ref[j]
+                errn = (total < 0.0).astype(jnp.int32)
+                err_ref[j] = jnp.where(active, errn, err_ref[j])
+                llr_ref[j] = jnp.where(active, total, llr_ref[j])
+
+        def body(carry):
+            it, done, iters = carry
+            active = done < 1  # [BT, 1] bool (intermediate only)
+            if layered:
+                layered_sweep(active)
+            else:
+                flooding_sweep(active)
 
             # -- syndrome check (check-oriented XOR of decisions) ----------
             ok = jnp.ones((BT, 1), jnp.int32)
@@ -256,7 +321,7 @@ def make_group_qc_minsum_pallas_fn(
             ),
             scratch_shapes=[
                 pltpu.VMEM((Eb, BT, Z), jnp.float32),
-                pltpu.VMEM((Eb, BT, Z), jnp.float32),
+                pltpu.VMEM((nb if layered else Eb, BT, Z), jnp.float32),
             ],
             interpret=interpret,
         )(syn)

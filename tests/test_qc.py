@@ -288,3 +288,153 @@ def test_from_group_terms_recovers_errors():
         s2 = (out.astype(np.int64) @ H.T) % 2
         assert conv.mean() > 0.9
         assert (s2[conv] == syn[conv]).all()
+
+
+# ---- layered (serial-C) schedule in the fused kernel ------------------------
+
+
+def _layered_qc_reference(base, Z, per, max_iters, alpha, beta, syndromes):
+    """NumPy emulation of the kernel's base-row layered schedule (f32),
+    replicating read/update order exactly for bitwise comparison."""
+    from ldpcdecoders_tpu.models.priors import per_to_llr
+    from ldpcdecoders_tpu.ops.pallas_qc import qc_term_adjacency
+
+    base = np.asarray(base)
+    mb, nb = base.shape
+    bi, bj = np.nonzero(base >= 0)
+    terms = [(int(i), int(j), int(base[i, j]), 0) for i, j in zip(bi, bj)]
+    edges, row_edges, _ = qc_term_adjacency(terms, mb, nb)
+    L0 = np.float32(per_to_llr(per, 1))
+    alpha, beta = np.float32(alpha), np.float32(beta)
+    B = syndromes.shape[0]
+
+    def sigma(a):  # lifted permutation of a 1-D shift: w -> (w + a) % Z
+        return (np.arange(Z) + a) % Z
+
+    tot = np.full((B, nb, Z), L0, np.float32)
+    mu = np.zeros((B, len(edges), Z), np.float32)
+    err = np.zeros((B, nb, Z), np.int32)
+    llr = np.full((B, nb, Z), L0, np.float32)
+    done = np.zeros(B, bool)
+    iters = np.zeros(B, np.int32)
+    for it in range(max_iters):
+        if done.all():
+            break
+        active = ~done
+        for i in range(mb):
+            row = row_edges[i]
+            ncs, olds = [], []
+            for e in row:
+                _, j, a, _ = edges[e]
+                nu_vo = tot[:, j] - mu[:, e]
+                olds.append(mu[:, e].copy())
+                ncs.append(nu_vo[:, sigma(a)])
+            mags = [np.abs(x) for x in ncs]
+            negs = [x < 0 for x in ncs]
+            min1, idx1 = mags[0], np.zeros((B, Z), np.int32)
+            min2 = np.full((B, Z), np.inf, np.float32)
+            parity = negs[0].copy()
+            for k in range(1, len(row)):
+                v = mags[k]
+                sm = v < min1
+                min2 = np.where(sm, min1, np.minimum(min2, v))
+                idx1 = np.where(sm, k, idx1)
+                min1 = np.where(sm, v, min1)
+                parity ^= negs[k]
+            syn_i = syndromes[:, i * Z:(i + 1) * Z] != 0
+            for k, e in enumerate(row):
+                _, j, a, _ = edges[e]
+                excl = np.where(idx1 == k, min2, min1)
+                flip = parity ^ negs[k] ^ syn_i
+                mag_out = np.maximum(alpha * excl - beta, np.float32(0))
+                mu_co = np.where(flip, -mag_out, mag_out).astype(np.float32)
+                mu_new = mu_co[:, sigma((Z - a) % Z)]
+                tot[:, j] = tot[:, j] + (mu_new - olds[k])
+                mu[:, e] = mu_new
+        errn = (tot < 0).astype(np.int32)
+        err[active] = errn[active]
+        llr[active] = tot[active]
+        # syndrome check on frozen decisions
+        par = np.zeros((B, mb, Z), np.int32)
+        for i in range(mb):
+            for e in row_edges[i]:
+                _, j, a, _ = edges[e]
+                par[:, i] ^= err[:, j][:, sigma(a)]
+        ok = ((par != 0).reshape(B, -1) == (syndromes != 0)).all(axis=1)
+        iters[ok & active] = it + 1
+        done |= ok
+    iters[~done] = max_iters
+    return (
+        err.reshape(len(syndromes), -1).astype(np.int8),
+        done,
+        iters,
+        llr.reshape(len(syndromes), -1),
+    )
+
+
+def test_qc_layered_pallas_matches_numpy_reference(small_qc):
+    base, Z, H = small_qc
+    per, max_iters = 0.04, 12
+    dec = lt.QCMinSumDecoder(
+        base, Z, per, max_iters, schedule="layered", backend="pallas",
+        interpret=True, batch_tile=8,
+    )
+    assert dec.alpha == 0.8  # layered default
+    rng = np.random.default_rng(6)
+    errs = (rng.random((8, dec.n)) < 0.03).astype(np.int8)
+    syn = ((errs @ H.T) % 2).astype(np.int8)
+    ep, cp, ip, auxp, _ = dec.batch_decode_detailed(syn)
+    er, cr, ir, lr = _layered_qc_reference(base, Z, per, max_iters, 0.8, 0.0, syn)
+    assert np.array_equal(np.asarray(ep), er)
+    assert np.array_equal(np.asarray(cp), cr)
+    assert np.array_equal(np.asarray(ip), ir)
+    np.testing.assert_allclose(np.asarray(auxp["llrs"]), lr, rtol=0, atol=0)
+
+
+def test_qc_layered_converges_in_fewer_sweeps(small_qc):
+    base, Z, H = small_qc
+    per = 0.05
+    kw = dict(backend="pallas", interpret=True, batch_tile=8)
+    flood = lt.QCMinSumDecoder(base, Z, per, 30, schedule="flooding", **kw)
+    layer = lt.QCMinSumDecoder(base, Z, per, 30, schedule="layered", **kw)
+    rng = np.random.default_rng(1)
+    errs = (rng.random((16, flood.n)) < 0.04).astype(np.int8)
+    syn = (errs @ H.T) % 2
+    _, cf, itf, _, _ = flood.batch_decode_detailed(syn)
+    el, cl, itl, _, _ = layer.batch_decode_detailed(syn)
+    assert cl.mean() >= cf.mean()
+    conv_both = np.asarray(cf) & np.asarray(cl)
+    assert conv_both.any()
+    assert np.asarray(itl)[conv_both].mean() < np.asarray(itf)[conv_both].mean()
+    # converged layered lanes reproduce their syndromes
+    s2 = (np.asarray(el).astype(np.int64) @ H.T) % 2
+    assert (s2[np.asarray(cl)] == syn[np.asarray(cl)]).all()
+
+
+def test_qc_layered_xla_backend_and_validation(small_qc):
+    base, Z, H = small_qc
+    dec = lt.QCMinSumDecoder(base, Z, 0.03, 30, schedule="layered", backend="xla")
+    rng = np.random.default_rng(2)
+    errs = (rng.random((16, dec.n)) < 0.02).astype(np.int8)
+    syn = (errs @ H.T) % 2
+    out, conv = dec.batch_decode(syn)
+    s2 = (out.astype(np.int64) @ H.T) % 2
+    assert conv.mean() > 0.9
+    assert (s2[conv] == syn[conv]).all()
+    with pytest.raises(ValueError, match="schedule"):
+        lt.QCMinSumDecoder(base, Z, 0.03, 5, schedule="bogus", backend="xla")
+
+
+def test_config_qc_layered(small_qc):
+    from ldpcdecoders_tpu.config import DecoderConfig
+
+    base, Z, H = small_qc
+    cfg = DecoderConfig(kind="qc_minsum", per=0.03, max_iters=20, schedule="layered")
+    assert DecoderConfig.from_json(cfg.to_json()) == cfg
+    dec = cfg.build((base, Z))
+    assert dec.schedule == "layered" and dec.alpha == 0.8
+    rng = np.random.default_rng(4)
+    err = (rng.random(dec.n) < 0.02).astype(np.int8)
+    out, conv = dec.decode((H @ err) % 2)
+    if conv:
+        assert np.array_equal((H @ out.astype(np.int64)) % 2, (H @ err) % 2)
