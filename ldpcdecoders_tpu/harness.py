@@ -23,7 +23,7 @@ from .utils.io import atomic_write_json, read_json
 from .utils.metrics import wilson_interval
 from .utils.noise import sample_errors, syndromes_of
 
-__all__ = ["FERSweep", "SweepPoint", "find_threshold"]
+__all__ = ["FERSweep", "SweepPoint", "find_threshold", "css_logical_sweep"]
 
 
 @dataclasses.dataclass
@@ -361,3 +361,91 @@ def find_threshold(
         "target_ler": float(target_ler),
         "probes": probes,
     }
+
+
+def css_logical_sweep(
+    Hx,
+    Hz,
+    pers: Sequence[float],
+    *,
+    trials_per_point: int,
+    max_iters: int = 100,
+    decoder: str = "bposd",
+    batch: int = 256,
+    seed: int = 0,
+    **knobs,
+) -> dict:
+    """Degeneracy-aware logical-error-rate sweep of a CSS code pair.
+
+    The quantum analog of :class:`FERSweep`: at each physical error rate
+    independent X and Z error batches are injected, both stabilizer
+    blocks are decoded (`models/css.py::CSSDecoder`), and a lane counts
+    as a logical failure when its residual (true XOR estimate) is NOT a
+    stabilizer — i.e. lies outside rowspan(Hz) for Z residuals /
+    rowspan(Hx) for X — so degenerate corrections are (correctly) not
+    failures, unlike exact-recovery LER.
+
+    RNG discipline matches FERSweep: each (point, batch) consumes its own
+    counted stream derived from ``(seed, per, step)``, so re-runs
+    reproduce exactly.
+
+    Returns ``{per: {"trials", "z_logical_rate", "x_logical_rate",
+    "any_logical_rate", *_ci95, "z_converged", "x_converged"}}``.
+
+    Example (gross code):
+      >>> from ldpcdecoders_tpu import named_bicycle_code  # doctest: +SKIP
+      >>> Hx, Hz, _ = named_bicycle_code("bb144")          # doctest: +SKIP
+      >>> css_logical_sweep(Hx, Hz, [0.003], trials_per_point=512)  # doctest: +SKIP
+    """
+    from .models.css import CSSDecoder
+
+    Hx = np.asarray(Hx) if not hasattr(Hx, "tocsr") else Hx
+    Hz = np.asarray(Hz) if not hasattr(Hz, "tocsr") else Hz
+    n = Hx.shape[1]
+    out = {}
+    for per in pers:
+        dec = CSSDecoder(Hx, Hz, per=per, max_iters=max_iters,
+                         decoder=decoder, **knobs)
+        per_hash = int(per * 1e9) & 0x7FFFFFFF
+        trials = zf_cnt = xf_cnt = anyf_cnt = zc_cnt = xc_cnt = 0
+        step = 0
+        t0 = time.perf_counter()
+        while trials < trials_per_point:
+            b = min(batch, trials_per_point - trials)
+            rng = np.random.default_rng((seed, per_hash, step))
+            decode_seed = int(
+                np.random.default_rng(
+                    (seed, per_hash, step, 0xDEC0DE)
+                ).integers(1 << 31)
+            )
+            z_true = sample_errors(rng, b, n, per)
+            x_true = sample_errors(rng, b, n, per)
+            syn_x = syndromes_of(Hx, z_true)
+            syn_z = syndromes_of(Hz, x_true)
+            z_hat, x_hat, zc, xc = dec.batch_decode(syn_x, syn_z, seed=decode_seed)
+            zf, xf = dec.logical_failures(z_true, z_hat, x_true, x_hat)
+            trials += b
+            step += 1
+            zf_cnt += int(zf.sum())
+            xf_cnt += int(xf.sum())
+            anyf_cnt += int((zf | xf).sum())
+            zc_cnt += int(np.asarray(zc).sum())
+            xc_cnt += int(np.asarray(xc).sum())
+        dt = time.perf_counter() - t0
+        z_lo, z_hi = wilson_interval(zf_cnt, trials)
+        x_lo, x_hi = wilson_interval(xf_cnt, trials)
+        a_lo, a_hi = wilson_interval(anyf_cnt, trials)
+        out[per] = {
+            "per": float(per),
+            "trials": trials,
+            "z_logical_rate": zf_cnt / trials,
+            "z_logical_ci95": [z_lo, z_hi],
+            "x_logical_rate": xf_cnt / trials,
+            "x_logical_ci95": [x_lo, x_hi],
+            "any_logical_rate": anyf_cnt / trials,
+            "any_logical_ci95": [a_lo, a_hi],
+            "z_converged": zc_cnt / trials,
+            "x_converged": xc_cnt / trials,
+            "throughput_pairs_per_s": trials / dt if dt else 0.0,
+        }
+    return out

@@ -98,3 +98,21 @@ def test_cli_sweep_bicycle(capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out)
     assert out["0.01"]["trials"] == 32
+
+
+def test_css_logical_sweep_reproducible():
+    from ldpcdecoders_tpu.harness import css_logical_sweep
+
+    Hx, Hz, _ = named_bicycle_code("bb72")
+    kw = dict(trials_per_point=64, max_iters=30, batch=32, seed=3)
+    out1 = css_logical_sweep(Hx, Hz, [0.002, 0.02], **kw)
+    out2 = css_logical_sweep(Hx, Hz, [0.002, 0.02], **kw)
+    for per in (0.002, 0.02):
+        assert out1[per]["trials"] == 64
+        for k in ("z_logical_rate", "x_logical_rate", "any_logical_rate"):
+            assert out1[per][k] == out2[per][k]  # counted-RNG reproducibility
+            assert 0.0 <= out1[per][k] <= 1.0
+        lo, hi = out1[per]["any_logical_ci95"]
+        assert lo <= out1[per]["any_logical_rate"] <= hi
+    # low noise should not fail more often than high noise
+    assert out1[0.002]["any_logical_rate"] <= out1[0.02]["any_logical_rate"]
