@@ -108,6 +108,34 @@ def main():
     jax.block_until_ready(outs[-1][0])
     bposd_pipelined = K * B / (time.perf_counter() - t0)
 
+    # fused QC kernel (layered schedule) — the VMEM-resident path on a
+    # same-edge-count quasi-cyclic code; guarded so a Pallas regression
+    # can never take down the headline number
+    qc_extra = {}
+    try:
+        base = lt.random_qc_base_matrix(24, 6, 3, 128, rng=7)
+        Hq = lt.qc_lift(base, 128)
+        on_tpu = jax.devices()[0].platform == "tpu"
+        qdec = lt.QCMinSumDecoder(
+            base, 128, 0.04, 32, schedule="layered",
+            backend="pallas" if on_tpu else "xla",
+        )
+        qerrs = rng.random((B, Hq.shape[1])) < 0.04
+        qsyns = jnp.asarray((qerrs @ Hq.T) % 2, dtype=jnp.int8)
+        out = qdec._decode_batch(qsyns)
+        jax.block_until_ready(out[0])
+        t0 = time.perf_counter()
+        outs = [qdec._decode_batch(qsyns) for _ in range(K)]
+        jax.block_until_ready(outs[-1][0])
+        qc_extra = {
+            "qc_layered_fused_syndromes_per_s": round(
+                K * B / (time.perf_counter() - t0), 1
+            ),
+            "qc_layered_converged_fraction": float(np.asarray(out[1]).mean()),
+        }
+    except Exception as e:  # pragma: no cover - diagnostic only
+        qc_extra = {"qc_layered_fused_error": repr(e)[:200]}
+
     target = 1e7  # BASELINE.json north-star: edge-iterations/s/chip
     result = {
         "metric": "bp_edge_iterations_per_s_per_chip",
@@ -123,6 +151,7 @@ def main():
             "decoded_syndromes_per_s_sumproduct_pipelined": round(pipelined_syn_per_s, 1),
             "decoded_syndromes_per_s_minsum_int8": round(B / dt_qr, 1),
             "decoded_syndromes_per_s_bposd_fused_pipelined": round(bposd_pipelined, 1),
+            **qc_extra,
             "converged_fraction_real": conv_bpr,
             "batch": B,
             "iters_executed": it_bp,
