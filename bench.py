@@ -123,10 +123,11 @@ def main():
         qerrs = rng.random((B, Hq.shape[1])) < 0.04
         qsyns = jnp.asarray((qerrs @ Hq.T) % 2, dtype=jnp.int8)
         out = qdec._decode_batch(qsyns)
-        jax.block_until_ready(out[0])
+        np.asarray(out[2])  # compile + REAL completion fence: on the axon
+        # tunnel block_until_ready can return before Pallas outputs exist
         t0 = time.perf_counter()
         outs = [qdec._decode_batch(qsyns) for _ in range(K)]
-        jax.block_until_ready(outs[-1][0])
+        np.asarray(outs[-1][2])
         qc_extra = {
             "qc_layered_fused_syndromes_per_s": round(
                 K * B / (time.perf_counter() - t0), 1

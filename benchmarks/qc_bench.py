@@ -30,8 +30,8 @@ def run(nb=24, Z=128, batch=512, per=0.01, max_iters=32, batch_tile=32, reps=5,
     if bicycle:
         # one stabilizer block (Hx) of a bivariate bicycle quantum code:
         # the 2-D group-shift form of the fused kernel
-        mk = lambda backend, **kw: lt.QCMinSumDecoder.for_bicycle(  # noqa: E731
-            bicycle, "x", per, max_iters, backend=backend, schedule=schedule, **kw
+        mk = lambda backend, mi=max_iters, **kw: lt.QCMinSumDecoder.for_bicycle(  # noqa: E731
+            bicycle, "x", per, mi, backend=backend, schedule=schedule, **kw
         )
         probe = mk("xla")
         rows, cols = np.nonzero(np.asarray(probe.graph.H))
@@ -72,9 +72,12 @@ def run(nb=24, Z=128, batch=512, per=0.01, max_iters=32, batch_tile=32, reps=5,
         outs[name] = (np.asarray(err), np.asarray(conv), np.asarray(iters))
     # interleave timed reps so device-load drift (the chip is shared over
     # a tunnel) hits both backends equally instead of biasing the ratio;
-    # K device-resident calls per rep (sync once) so per-call dispatch
-    # latency and host transfers don't floor both backends at the same
-    # number (the serving pattern bench.py uses)
+    # K device-resident calls per rep.  The sync is a small host fetch of
+    # the last call's iters (np.asarray): on the axon tunnel
+    # jax.block_until_ready can return before Pallas outputs are actually
+    # computed (measured: a 1024-hard-iteration kernel "completing" in
+    # 0.16 ms, 400x past VPU physics), so only a real device->host read
+    # is a trustworthy fence.
     import jax.numpy as jnp
 
     syn_dev = jnp.asarray(syn)
@@ -83,8 +86,48 @@ def run(nb=24, Z=128, batch=512, per=0.01, max_iters=32, batch_tile=32, reps=5,
         for name, dec in decs.items():
             t0 = time.perf_counter()
             rets = [dec._decode_batch(syn_dev) for _ in range(K)]
-            jax.block_until_ready(rets[-1][0])
+            np.asarray(rets[-1][2])  # iters [B]: tiny, forces completion
             best[name] = max(best[name], K * batch / (time.perf_counter() - t0))
+
+    # device-side rate, dispatch/transfer cancelled: two hard-syndrome
+    # (per=0.5, zero convergence) runs at different max_iters; the time
+    # slope is pure per-iteration device work
+    hard = (rng.random((batch, n)) < 0.5).astype(np.int8)
+    syn_h = np.zeros((batch, m), np.int8)
+    for r, c in zip(rows, cols):
+        syn_h[:, r] ^= hard[:, c]
+    syn_h = jnp.asarray(syn_h)
+    device_rates = {}
+    mi_lo, mi_hi = 64, 256
+    if not on_tpu:  # interpreter mode: hard 256-iter runs take minutes
+        device_rates = {name: float("nan") for name in decs}
+    for name in decs if on_tpu else ():
+        ts = {}
+        for mi in (mi_lo, mi_hi):
+            if bicycle:
+                dh = mk(name, mi=mi, **(
+                    {} if name == "xla" else dict(batch_tile=batch_tile,
+                                                  interpret=not on_tpu)))
+            else:
+                dh = lt.QCMinSumDecoder(
+                    base, Z, per, mi, backend=name, schedule=schedule,
+                    **({} if name == "xla" else dict(batch_tile=batch_tile,
+                                                     interpret=not on_tpu)),
+                )
+            r0 = dh._decode_batch(syn_h)
+            np.asarray(r0[2])  # warm
+            bestt = 1e9
+            for _ in range(2):
+                t0 = time.perf_counter()
+                r0 = dh._decode_batch(syn_h)
+                np.asarray(r0[2])
+                bestt = min(bestt, time.perf_counter() - t0)
+            ts[mi] = bestt
+        device_rates[name] = round(
+            batch * (mi_hi - mi_lo) * E / (ts[mi_hi] - ts[mi_lo]), 1
+        )
+        print(f"qc/{name}: device rate {device_rates[name]:.3e} edge-iters/s",
+              file=sys.stderr)
     for name in decs:
         iters = outs[name][2]
         mean_iters = float(iters.mean())
@@ -105,6 +148,11 @@ def run(nb=24, Z=128, batch=512, per=0.01, max_iters=32, batch_tile=32, reps=5,
         "config": {**config_extra, "n": n, "m": m, "edges": E,
                    "per": per, "max_iters": max_iters, "batch": batch,
                    "batch_tile": batch_tile, "schedule": schedule},
+        "device_edge_iters_per_s": device_rates,
+        "device_rate_speedup_pallas_vs_xla": (
+            round(device_rates["pallas"] / device_rates["xla"], 3)
+            if on_tpu else None
+        ),
         "cases": results,
         "backends_bitwise_agree": agree,
         "speedup_pallas_vs_xla": round(

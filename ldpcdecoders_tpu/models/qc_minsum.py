@@ -69,6 +69,8 @@ class QCMinSumDecoder(Decoder):
         program); batches are padded up to a multiple of this.  32 is
         the measured sweet spot on v5e (amortizes per-op control
         overhead while keeping per-tile early exit fine-grained).
+      dtype: message precision — jnp.float32 (default) or jnp.bfloat16
+        (half the VMEM / register traffic; LLR outputs stay float32).
       interpret: run the Pallas kernel in interpreter mode (CPU tests).
 
     Example:
@@ -97,6 +99,7 @@ class QCMinSumDecoder(Decoder):
         backend: str = "pallas",
         schedule: str = "flooding",
         batch_tile: int = 32,
+        dtype=jnp.float32,
         interpret: bool = False,
     ):
         base = np.asarray(base, dtype=np.int64)
@@ -108,7 +111,7 @@ class QCMinSumDecoder(Decoder):
         self._setup(
             terms, mb, nb, (int(Z), 1), rows, cols, per, max_iters,
             alpha=alpha, beta=beta, backend=backend, schedule=schedule,
-            batch_tile=batch_tile, interpret=interpret,
+            batch_tile=batch_tile, dtype=dtype, interpret=interpret,
         )
 
     @classmethod
@@ -126,6 +129,7 @@ class QCMinSumDecoder(Decoder):
         backend: str = "pallas",
         schedule: str = "flooding",
         batch_tile: int = 32,
+        dtype=jnp.float32,
         interpret: bool = False,
     ) -> "QCMinSumDecoder":
         """Build from 2-D group-circulant edge terms over ``Z_l x Z_m``.
@@ -142,7 +146,7 @@ class QCMinSumDecoder(Decoder):
         self._setup(
             terms, int(mb), int(nb), (gl, gm), rows, cols, per, max_iters,
             alpha=alpha, beta=beta, backend=backend, schedule=schedule,
-            batch_tile=batch_tile, interpret=interpret,
+            batch_tile=batch_tile, dtype=dtype, interpret=interpret,
         )
         return self
 
@@ -195,7 +199,7 @@ class QCMinSumDecoder(Decoder):
 
     def _setup(
         self, terms, mb, nb, group, rows, cols, per, max_iters,
-        *, alpha, beta, backend, schedule, batch_tile, interpret,
+        *, alpha, beta, backend, schedule, batch_tile, dtype, interpret,
     ):
         gl, gm = group
         Z = gl * gm
@@ -222,6 +226,7 @@ class QCMinSumDecoder(Decoder):
         self.beta = float(beta)
         self.backend = backend
         self.batch_tile = int(batch_tile)
+        self.dtype = jnp.dtype(dtype).type  # scalar type: callable like jnp.float32
         if backend == "pallas":
             from ..ops.pallas_qc import make_group_qc_minsum_pallas_fn
 
@@ -237,6 +242,7 @@ class QCMinSumDecoder(Decoder):
                 beta=self.beta,
                 batch_tile=self.batch_tile,
                 schedule=schedule,
+                dtype=self.dtype,
                 interpret=interpret,
             )
         elif backend == "xla":
@@ -246,14 +252,14 @@ class QCMinSumDecoder(Decoder):
                 self._decode_fn = jax.jit(
                     make_layered_minsum_fn(
                         self.graph, self.per, self.max_iters,
-                        alpha=self.alpha, beta=self.beta,
+                        alpha=self.alpha, beta=self.beta, dtype=self.dtype,
                     )
                 )
             else:
                 self._decode_fn = jax.jit(
                     make_minsum_decode_fn(
                         self.graph, self.per, self.max_iters,
-                        alpha=self.alpha, beta=self.beta,
+                        alpha=self.alpha, beta=self.beta, dtype=self.dtype,
                     )
                 )
         else:

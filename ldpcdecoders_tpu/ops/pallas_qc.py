@@ -96,9 +96,18 @@ def make_group_qc_minsum_pallas_fn(
     beta: float = 0.0,
     batch_tile: int = 32,
     schedule: str = "flooding",
+    dtype=jnp.float32,
     interpret: bool = False,
 ):
     """Build ``syndromes [B, mb*Z] -> (err i8, converged bool, iters i32, llrs f32)``.
+
+    ``dtype`` selects the in-kernel message *storage* precision: float32
+    (default) or bfloat16 (half the VMEM — double the code size that
+    fits per batch tile).  Arithmetic always runs in f32: Mosaic's
+    dynamic_rotate is 32-bit-only and bf16 comparisons trip its i1
+    relayout bug, so narrow values upcast on read and downcast on
+    write; min-sum is magnitude-comparison based, so the rounding costs
+    essentially no accuracy.  The LLR output is always float32.
 
     ``B`` must be a multiple of ``batch_tile`` (callers pad).  ``L0`` is
     the scalar channel LLR (baked into the kernel, like the other Pallas
@@ -131,7 +140,9 @@ def make_group_qc_minsum_pallas_fn(
     beta = float(beta)
     BT = int(batch_tile)
     layered = schedule == "layered"
-    f32 = jnp.float32
+    f32 = jnp.dtype(dtype)
+    if f32 not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
+        raise ValueError(f"dtype must be float32 or bfloat16, got {dtype}")
 
     def kernel(syn_ref, err_ref, llr_ref, conv_ref, iters_ref, s1_ref, s2_ref):
         # scratch aliases: flooding carries per-edge nu and mu; layered
@@ -152,7 +163,16 @@ def make_group_qc_minsum_pallas_fn(
             return vmask_cache[b]
 
         def apply_shift(x, a, b):
-            """out[w] = x[sigma_{(a,b)}(w)] — gather at the monomial shift."""
+            """out[w] = x[sigma_{(a,b)}(w)] — gather at the monomial shift.
+
+            Float inputs come back as float32: Mosaic's tpu.dynamic_rotate
+            only supports 32-bit element types, and bf16 comparisons hit
+            the i1 relayout compiler bug, so bf16 here is a *storage*
+            precision — values upcast (losslessly) on read and arithmetic
+            runs in f32; callers downcast when writing back to refs.
+            """
+            if x.dtype.itemsize < 4:
+                x = x.astype(jnp.float32)
             c1 = (a * gm + b) % Z
             if b == 0:
                 return pltpu.roll(x, (-c1) % Z, 1) if c1 else x
@@ -173,7 +193,7 @@ def make_group_qc_minsum_pallas_fn(
             negs = [nc < 0.0 for nc in ncs]
             min1 = mags[0]
             idx1 = jnp.zeros((BT, Z), jnp.int32)
-            min2 = jnp.full((BT, Z), jnp.inf, f32)
+            min2 = jnp.full((BT, Z), jnp.inf, jnp.float32)
             parity = negs[0]
             for k in range(1, len(ncs)):
                 v = mags[k]
@@ -193,7 +213,7 @@ def make_group_qc_minsum_pallas_fn(
         # init: outputs = iteration-0 state; flooding seeds nu with the
         # channel prior (var-oriented == check-oriented for a constant),
         # layered seeds zero messages and prior totals
-        prior = jnp.full((BT, Z), L0, f32)
+        prior = jnp.full((BT, Z), L0, f32)  # stored narrow; compute upcasts
         if layered:
             for e in range(Eb):
                 mu_ref[e] = jnp.zeros((BT, Z), f32)
@@ -204,7 +224,7 @@ def make_group_qc_minsum_pallas_fn(
                 nu_ref[e] = prior
         for j in range(nb):
             err_ref[j] = jnp.zeros((BT, Z), jnp.int32)
-            llr_ref[j] = prior
+            llr_ref[j] = jnp.full((BT, Z), L0, jnp.float32)
 
         syn_b = [syn_ref[i] != 0 for i in range(mb)]
 
@@ -226,15 +246,16 @@ def make_group_qc_minsum_pallas_fn(
                 outs = two_min_mu(ncs, syn_b[i])
                 for k, e in enumerate(row):
                     _, _, a, b = edges[e]
-                    mu_ref[e] = apply_shift(outs[k], *inv(a, b))  # var orientation
+                    mu_ref[e] = apply_shift(outs[k], *inv(a, b)).astype(f32)
             # -- variable update + frozen outputs --------------------------
             for j in range(nb):
                 col = col_edges[j]
-                total = jnp.full((BT, Z), L0, f32)
-                for e in col:
-                    total = total + mu_ref[e]
-                for e in col:
-                    nu_ref[e] = total - mu_ref[e]
+                total = jnp.full((BT, Z), L0, jnp.float32)
+                mus = [mu_ref[e].astype(jnp.float32) for e in col]
+                for mu in mus:
+                    total = total + mu
+                for e, mu in zip(col, mus):
+                    nu_ref[e] = (total - mu).astype(f32)
                 errn = (total < 0.0).astype(jnp.int32)
                 err_ref[j] = jnp.where(active, errn, err_ref[j])
                 llr_ref[j] = jnp.where(active, total, llr_ref[j])
@@ -247,17 +268,20 @@ def make_group_qc_minsum_pallas_fn(
                 ncs, olds = [], []
                 for e in row:
                     _, j, a, b = edges[e]
-                    nu_vo = tot_ref[j] - mu_ref[e]
-                    olds.append(mu_ref[e])
+                    old = mu_ref[e].astype(jnp.float32)
+                    nu_vo = tot_ref[j].astype(jnp.float32) - old
+                    olds.append(old)
                     ncs.append(apply_shift(nu_vo, a, b))
                 outs = two_min_mu(ncs, syn_b[i])
                 for k, e in enumerate(row):
                     _, j, a, b = edges[e]
                     mu_new = apply_shift(outs[k], *inv(a, b))
-                    tot_ref[j] = tot_ref[j] + (mu_new - olds[k])
-                    mu_ref[e] = mu_new
+                    tot_ref[j] = (
+                        tot_ref[j].astype(jnp.float32) + (mu_new - olds[k])
+                    ).astype(f32)
+                    mu_ref[e] = mu_new.astype(f32)
             for j in range(nb):
-                total = tot_ref[j]
+                total = tot_ref[j].astype(jnp.float32)
                 errn = (total < 0.0).astype(jnp.int32)
                 err_ref[j] = jnp.where(active, errn, err_ref[j])
                 llr_ref[j] = jnp.where(active, total, llr_ref[j])
@@ -320,8 +344,8 @@ def make_group_qc_minsum_pallas_fn(
                 jax.ShapeDtypeStruct((B, 1), jnp.int32),
             ),
             scratch_shapes=[
-                pltpu.VMEM((Eb, BT, Z), jnp.float32),
-                pltpu.VMEM((nb if layered else Eb, BT, Z), jnp.float32),
+                pltpu.VMEM((Eb, BT, Z), f32),
+                pltpu.VMEM((nb if layered else Eb, BT, Z), f32),
             ],
             interpret=interpret,
         )(syn)

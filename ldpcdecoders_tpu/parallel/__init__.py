@@ -5,6 +5,7 @@ from .spmd import (
     decode_with_stats,
     make_check_sharded_minsum_fn,
     make_check_sharded_sumproduct_fn,
+    make_qc_sharded_decode_fn,
 )
 
 __all__ = [
@@ -15,6 +16,7 @@ __all__ = [
     "decode_with_stats",
     "make_check_sharded_minsum_fn",
     "make_check_sharded_sumproduct_fn",
+    "make_qc_sharded_decode_fn",
     "initialize_multihost",
     "global_mesh",
     "allreduce_counts",

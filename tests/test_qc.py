@@ -438,3 +438,23 @@ def test_config_qc_layered(small_qc):
     out, conv = dec.decode((H @ err) % 2)
     if conv:
         assert np.array_equal((H @ out.astype(np.int64)) % 2, (H @ err) % 2)
+
+
+def test_qc_bf16_backends(small_qc):
+    import jax.numpy as jnp
+
+    base, Z, H = small_qc
+    rng = np.random.default_rng(8)
+    errs = (rng.random((16, H.shape[1])) < 0.02).astype(np.int8)
+    syn = (errs @ H.T) % 2
+    for backend, kw in (("xla", {}), ("pallas", dict(interpret=True, batch_tile=8))):
+        dec = lt.QCMinSumDecoder(
+            base, Z, 0.03, 20, schedule="layered", backend=backend,
+            dtype=jnp.bfloat16, **kw,
+        )
+        out, conv = dec.batch_decode(syn)
+        s2 = (out.astype(np.int64) @ H.T) % 2
+        assert conv.mean() > 0.9, backend
+        assert (s2[conv] == syn[conv]).all(), backend
+    with pytest.raises(ValueError, match="float32 or bfloat16"):
+        lt.QCMinSumDecoder(base, Z, 0.03, 5, dtype=jnp.int8, interpret=True)
