@@ -113,13 +113,12 @@ def main():
     # can never take down the headline number
     qc_extra = {}
     try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+        if not on_tpu:
+            raise RuntimeError("QC fused-kernel extra is TPU-only (skipped)")
         base = lt.random_qc_base_matrix(24, 6, 3, 128, rng=7)
         Hq = lt.qc_lift(base, 128)
-        on_tpu = jax.devices()[0].platform == "tpu"
-        qdec = lt.QCMinSumDecoder(
-            base, 128, 0.04, 32, schedule="layered",
-            backend="pallas" if on_tpu else "xla",
-        )
+        qdec = lt.QCMinSumDecoder(base, 128, 0.04, 32, schedule="layered")
         qerrs = rng.random((B, Hq.shape[1])) < 0.04
         qsyns = jnp.asarray((qerrs @ Hq.T) % 2, dtype=jnp.int8)
         out = qdec._decode_batch(qsyns)

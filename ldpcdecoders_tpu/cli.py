@@ -57,7 +57,7 @@ def _build_code(spec: str):
     raise SystemExit(f"unknown code spec '{spec}'")
 
 
-def _decoder_factory(name: str, H, max_iters: int, osd_order: int, T: int, C: float, fused: bool = False, osd_scope: str = 'all', qc=None):
+def _decoder_factory(name: str, H, max_iters: int, osd_order: int, T: int, C: float, fused: bool = False, osd_scope: str = 'all', qc=None, schedule: str = 'flooding'):
     import ldpcdecoders_tpu as lt
     from ldpcdecoders_tpu.config import DecoderConfig
 
@@ -73,7 +73,7 @@ def _decoder_factory(name: str, H, max_iters: int, osd_order: int, T: int, C: fl
         "minsum_int8": lambda per: lt.QuantizedMinSumDecoder(H, per, max_iters),
         "layered_minsum": lambda per: lt.LayeredMinSumDecoder(H, per, max_iters),
         "qc_minsum": lambda per: DecoderConfig(
-            kind="qc_minsum", per=per, max_iters=max_iters
+            kind="qc_minsum", per=per, max_iters=max_iters, schedule=schedule
         ).build(qc),
     }
     if name not in table:
@@ -100,6 +100,9 @@ def main(argv=None):
     common.add_argument("--osd-scope", default="all", choices=("all", "failed"),
                         help="bposd: run OSD-w on all lanes (reference) or "
                         "failing lanes only (throughput deviation)")
+    common.add_argument("--schedule", default="flooding",
+                        choices=("flooding", "layered"),
+                        help="qc_minsum: message-passing schedule")
     common.add_argument("--T", type=int, default=9)
     common.add_argument("--C", type=float, default=2.0)
     common.add_argument("--batch", type=int, default=1024)
@@ -136,7 +139,7 @@ def main(argv=None):
     enable_compilation_cache()
 
     H, qc = _build_code(a.code)
-    factory = _decoder_factory(a.decoder, H, a.max_iters, a.osd_order, a.T, a.C, a.fused, a.osd_scope, qc=qc)
+    factory = _decoder_factory(a.decoder, H, a.max_iters, a.osd_order, a.T, a.C, a.fused, a.osd_scope, qc=qc, schedule=a.schedule)
 
     with trace(a.profile):
         if a.cmd == "sweep":

@@ -144,6 +144,22 @@ def make_group_qc_minsum_pallas_fn(
     if f32 not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
         raise ValueError(f"dtype must be float32 or bfloat16, got {dtype}")
 
+    # everything must fit in VMEM (~16 MiB/core on v5e) at once: message
+    # scratch + (double-buffered) in/out blocks.  Measured boundary: a
+    # (6,3)-regular nb=24 code compiles at Z=384 f32 BT=32 (~10.6 MiB by
+    # this estimate) and fails at Z=768 (~21 MiB), so refuse past ~14 MiB
+    # with actionable guidance instead of an opaque remote-compile error.
+    scratch_b = (Eb + (nb if layered else Eb)) * BT * Z * f32.itemsize
+    io_b = 2 * (nb * 4 + nb * 4 + mb * 4) * BT * Z  # err i32 + llr f32 + syn i32
+    est = scratch_b + io_b
+    if est > 14 * 2**20 and not interpret:
+        raise ValueError(
+            f"estimated VMEM footprint {est / 2**20:.1f} MiB exceeds the ~14 MiB "
+            f"budget (Eb={Eb}, nb={nb}, Z={Z}, batch_tile={BT}, {f32.name}): "
+            "reduce batch_tile, use dtype=jnp.bfloat16, or fall back to "
+            "backend='xla' (HBM-resident) for codes this large"
+        )
+
     def kernel(syn_ref, err_ref, llr_ref, conv_ref, iters_ref, s1_ref, s2_ref):
         # scratch aliases: flooding carries per-edge nu and mu; layered
         # carries per-edge mu plus per-block-column LLR totals
