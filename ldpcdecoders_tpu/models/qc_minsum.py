@@ -98,6 +98,7 @@ class QCMinSumDecoder(Decoder):
         beta: float = 0.0,
         backend: str = "pallas",
         schedule: str = "flooding",
+        algorithm: str = "minsum",
         batch_tile: int = 32,
         dtype=jnp.float32,
         interpret: bool = False,
@@ -111,7 +112,8 @@ class QCMinSumDecoder(Decoder):
         self._setup(
             terms, mb, nb, (int(Z), 1), rows, cols, per, max_iters,
             alpha=alpha, beta=beta, backend=backend, schedule=schedule,
-            batch_tile=batch_tile, dtype=dtype, interpret=interpret,
+            algorithm=algorithm, batch_tile=batch_tile, dtype=dtype,
+            interpret=interpret,
         )
 
     @classmethod
@@ -128,6 +130,7 @@ class QCMinSumDecoder(Decoder):
         beta: float = 0.0,
         backend: str = "pallas",
         schedule: str = "flooding",
+        algorithm: str = "minsum",
         batch_tile: int = 32,
         dtype=jnp.float32,
         interpret: bool = False,
@@ -146,7 +149,8 @@ class QCMinSumDecoder(Decoder):
         self._setup(
             terms, int(mb), int(nb), (gl, gm), rows, cols, per, max_iters,
             alpha=alpha, beta=beta, backend=backend, schedule=schedule,
-            batch_tile=batch_tile, dtype=dtype, interpret=interpret,
+            algorithm=algorithm, batch_tile=batch_tile, dtype=dtype,
+            interpret=interpret,
         )
         return self
 
@@ -199,7 +203,8 @@ class QCMinSumDecoder(Decoder):
 
     def _setup(
         self, terms, mb, nb, group, rows, cols, per, max_iters,
-        *, alpha, beta, backend, schedule, batch_tile, dtype, interpret,
+        *, alpha, beta, backend, schedule, algorithm, batch_tile, dtype,
+        interpret,
     ):
         gl, gm = group
         Z = gl * gm
@@ -220,8 +225,13 @@ class QCMinSumDecoder(Decoder):
                 f"unknown schedule {schedule!r} (want 'flooding' or 'layered')"
             )
         self.schedule = schedule
+        if algorithm not in ("minsum", "sumproduct"):
+            raise ValueError(
+                f"unknown algorithm {algorithm!r} (want 'minsum' or 'sumproduct')"
+            )
+        self.algorithm = algorithm
         self.alpha = float(alpha) if alpha is not None else (
-            0.8 if schedule == "layered" else 1.0
+            0.8 if schedule == "layered" and algorithm == "minsum" else 1.0
         )
         self.beta = float(beta)
         self.backend = backend
@@ -242,11 +252,23 @@ class QCMinSumDecoder(Decoder):
                 beta=self.beta,
                 batch_tile=self.batch_tile,
                 schedule=schedule,
+                algorithm=algorithm,
                 dtype=self.dtype,
                 interpret=interpret,
             )
         elif backend == "xla":
-            if schedule == "layered":
+            if algorithm == "sumproduct":
+                if schedule == "layered":
+                    raise ValueError(
+                        "layered sum-product is only available on the "
+                        "pallas backend (the XLA layered path is min-sum)"
+                    )
+                from .bp import make_bp_decode_fn
+
+                self._decode_fn = jax.jit(
+                    make_bp_decode_fn(self.graph, self.per, self.max_iters)
+                )
+            elif schedule == "layered":
                 from .layered import make_layered_minsum_fn
 
                 self._decode_fn = jax.jit(
@@ -268,11 +290,17 @@ class QCMinSumDecoder(Decoder):
     def _decode_batch(self, syndromes, seed: int = 0, per=None):
         syndromes = jnp.asarray(syndromes)
         if self.backend == "xla":
-            L0 = None
+            arg = None
             if per is not None:
-                L0 = jnp.asarray(per_to_llr(per, self.n), jnp.float32)
-            err, converged, iters, llrs = self._decode_fn(syndromes, L0)
-            return err, converged, iters, {"llrs": llrs}
+                if self.algorithm == "sumproduct":
+                    # bp decode takes the channel probability ratio p/(1-p)
+                    arg = jnp.full((self.n,), float(per) / (1.0 - float(per)),
+                                   jnp.float32)
+                else:
+                    arg = jnp.asarray(per_to_llr(per, self.n), jnp.float32)
+            err, converged, iters, soft = self._decode_fn(syndromes, arg)
+            key = "log_probabs" if self.algorithm == "sumproduct" else "llrs"
+            return err, converged, iters, {key: soft}
         B = syndromes.shape[0]
         pad = (-B) % self.batch_tile
         if pad:

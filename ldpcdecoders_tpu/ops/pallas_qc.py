@@ -96,10 +96,20 @@ def make_group_qc_minsum_pallas_fn(
     beta: float = 0.0,
     batch_tile: int = 32,
     schedule: str = "flooding",
+    algorithm: str = "minsum",
     dtype=jnp.float32,
     interpret: bool = False,
 ):
     """Build ``syndromes [B, mb*Z] -> (err i8, converged bool, iters i32, llrs f32)``.
+
+    ``algorithm='minsum'`` (default) is the normalized/offset min-sum
+    check rule; ``'sumproduct'`` is exact LLR-domain belief propagation
+    — ``mu = (-1)^s * 2 atanh(prod tanh(nu/2))`` with the reference's
+    stability clamps (ops/clamps.py), algebraically the same algorithm
+    as the flagship probability-ratio decoder (models/bp.py: the ratio
+    delta (p0-p1)/(p0+p1) IS tanh(LLR/2)).  Exclusive products run as
+    unrolled prefix/suffix passes; atanh is evaluated as
+    ``0.5 log((1+x)/(1-x))``.  alpha/beta only apply to min-sum.
 
     ``dtype`` selects the in-kernel message *storage* precision: float32
     (default) or bfloat16 (half the VMEM — double the code size that
@@ -132,6 +142,10 @@ def make_group_qc_minsum_pallas_fn(
         raise ValueError(f"group sizes must be >= 1, got {group}")
     if schedule not in ("flooding", "layered"):
         raise ValueError(f"unknown schedule {schedule!r} (want 'flooding' or 'layered')")
+    if algorithm not in ("minsum", "sumproduct"):
+        raise ValueError(
+            f"unknown algorithm {algorithm!r} (want 'minsum' or 'sumproduct')"
+        )
     Z = gl * gm
     edges, row_edges, col_edges = qc_term_adjacency(terms, mb, nb)
     Eb = len(edges)
@@ -139,6 +153,7 @@ def make_group_qc_minsum_pallas_fn(
     alpha = float(alpha)
     beta = float(beta)
     BT = int(batch_tile)
+    sumprod = algorithm == "sumproduct"
     layered = schedule == "layered"
     f32 = jnp.dtype(dtype)
     if f32 not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
@@ -202,6 +217,33 @@ def make_group_qc_minsum_pallas_fn(
         def inv(a, b):
             return (gl - a) % gl, (gm - b) % gm
 
+        def sumproduct_mu(ncs, syn_i):
+            """Exact tanh-rule check update: exclusive products of
+            tanh(nu/2) via unrolled prefix/suffix passes, then
+            2 atanh = log((1+x)/(1-x)), with the reference clamps."""
+            from ..ops.clamps import MSG_CLAMP, TANH_CLAMP
+
+            k = len(ncs)
+            ts = [
+                jnp.clip(jnp.tanh(nc * 0.5), -TANH_CLAMP, TANH_CLAMP)
+                for nc in ncs
+            ]
+            one = jnp.ones((BT, Z), jnp.float32)
+            fwd = [one]
+            for i in range(k - 1):
+                fwd.append(fwd[-1] * ts[i])
+            bwd = [one]
+            for i in range(k - 1, 0, -1):
+                bwd.append(bwd[-1] * ts[i])
+            bwd.reverse()
+            outs = []
+            for i in range(k):
+                excl = jnp.clip(fwd[i] * bwd[i], -TANH_CLAMP, TANH_CLAMP)
+                mu = jnp.log1p(excl) - jnp.log1p(-excl)  # = 2 atanh(excl)
+                mu = jnp.clip(mu, -MSG_CLAMP, MSG_CLAMP)
+                outs.append(jnp.where(syn_i, -mu, mu))
+            return outs
+
         def two_min_mu(ncs, syn_i):
             """Two-min exclusive reduction over a base row's check-oriented
             inputs; returns the per-edge check-oriented output messages."""
@@ -225,6 +267,8 @@ def make_group_qc_minsum_pallas_fn(
                 mag_out = jnp.maximum(alpha * excl - beta, 0.0)
                 outs.append(jnp.where(flip, -mag_out, mag_out))
             return outs
+
+        check_mu = sumproduct_mu if sumprod else two_min_mu
 
         # init: outputs = iteration-0 state; flooding seeds nu with the
         # channel prior (var-oriented == check-oriented for a constant),
@@ -259,7 +303,7 @@ def make_group_qc_minsum_pallas_fn(
                 for e in row:
                     _, _, a, b = edges[e]
                     ncs.append(apply_shift(nu_ref[e], a, b))  # check orientation
-                outs = two_min_mu(ncs, syn_b[i])
+                outs = check_mu(ncs, syn_b[i])
                 for k, e in enumerate(row):
                     _, _, a, b = edges[e]
                     mu_ref[e] = apply_shift(outs[k], *inv(a, b)).astype(f32)
@@ -288,7 +332,7 @@ def make_group_qc_minsum_pallas_fn(
                     nu_vo = tot_ref[j].astype(jnp.float32) - old
                     olds.append(old)
                     ncs.append(apply_shift(nu_vo, a, b))
-                outs = two_min_mu(ncs, syn_b[i])
+                outs = check_mu(ncs, syn_b[i])
                 for k, e in enumerate(row):
                     _, j, a, b = edges[e]
                     mu_new = apply_shift(outs[k], *inv(a, b))
