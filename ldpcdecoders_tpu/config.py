@@ -63,6 +63,8 @@ class DecoderConfig:
     batch_tile: int = 32
     #: qc_minsum only: 'flooding' or 'layered' (serial-C over base rows)
     schedule: str = "flooding"
+    #: qc_minsum only: 'minsum' or 'sumproduct' (exact tanh-rule BP)
+    algorithm: str = "minsum"
 
     def __post_init__(self):
         if self.kind not in _KINDS:
@@ -94,6 +96,7 @@ class DecoderConfig:
                 base, Z, self.per, self.max_iters,
                 alpha=self.alpha, beta=self.beta, backend=backend,
                 batch_tile=self.batch_tile, schedule=self.schedule,
+                algorithm=self.algorithm,
             )
         if k == "bp":
             return lt.BeliefPropagationDecoder(H, self.per, self.max_iters)

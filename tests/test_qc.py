@@ -525,3 +525,18 @@ def test_qc_sumproduct_layered_pallas_only(small_qc):
                            schedule="layered", backend="xla")
     with pytest.raises(ValueError, match="algorithm"):
         lt.QCMinSumDecoder(base, Z, 0.03, 15, algorithm="bogus", interpret=True)
+
+
+def test_config_qc_algorithm(small_qc):
+    from ldpcdecoders_tpu.config import DecoderConfig
+
+    base, Z, H = small_qc
+    cfg = DecoderConfig(kind="qc_minsum", per=0.02, max_iters=20,
+                        algorithm="sumproduct")
+    assert DecoderConfig.from_json(cfg.to_json()) == cfg
+    dec = cfg.build((base, Z))
+    assert dec.algorithm == "sumproduct"
+    rng = np.random.default_rng(14)
+    err = (rng.random(dec.n) < 0.01).astype(np.int8)
+    out, conv = dec.decode((H @ err) % 2)
+    assert conv and np.array_equal(out, err)
