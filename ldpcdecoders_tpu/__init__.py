@@ -47,6 +47,7 @@ from .models import (
     BucketedDecoder,
     CSSDecoder,
     QCMinSumDecoder,
+    ErasurePeelingDecoder,
 )
 from . import parallel
 from .config import DecoderConfig

@@ -9,6 +9,7 @@ from .layered import LayeredMinSumDecoder
 from .bucketed import BucketedDecoder
 from .css import CSSDecoder
 from .qc_minsum import QCMinSumDecoder
+from .peeling import ErasurePeelingDecoder
 
 __all__ = [
     "Decoder",
@@ -25,4 +26,5 @@ __all__ = [
     "BucketedDecoder",
     "CSSDecoder",
     "QCMinSumDecoder",
+    "ErasurePeelingDecoder",
 ]

@@ -1,0 +1,220 @@
+"""Batched erasure-channel peeling decoder (+ exact GF(2) completion).
+
+The reference package decodes only bit-flip channels; erasures (known
+error *locations*, unknown values) are the other canonical LDPC channel
+— optical links, and in QEC the dominant error type of photonic /
+neutral-atom hardware.  This decoder is a TPU-native addition: the
+classic peeling algorithm is a chain of "find a check with exactly one
+erased neighbor, read that bit off its syndrome" steps, which batches
+perfectly as *parallel* leaf peeling — every degree-1 check in the
+whole batch resolves simultaneously each round, so a lane finishes in
+O(peeling depth) fixed-shape rounds inside one ``lax.while_loop``
+(simultaneous assignments to one bit are consistent: every determining
+check's syndrome equals the same bit value).
+
+When peeling stalls (a *stopping set*: every remaining check touches
+>= 2 erasures), ``on_stuck='gf2'`` completes exactly: the residual
+system ``H[:, eps] x = s_res`` is solved by the bit-packed Gauss-Jordan
+elimination (ops/gf2.py) with non-erased columns masked to zero so
+pivots can only land on erased bits — maximum-likelihood decoding on
+the erasure channel (any consistent solution is ML; ``converged`` is
+False only when no solution exists, i.e. the syndrome is inconsistent
+with the erasure pattern).  ``on_stuck='fail'`` skips the elimination
+and reports stuck lanes as non-converged (the pure-peeling behavior,
+O(edges) per round).
+
+API note: erasure decoding needs the erasure mask alongside the
+syndrome, so this class does not subclass ``Decoder`` —
+``batch_decode(syndromes, erasures)`` / ``decode(syndrome, erasure)``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..codes.graph import TannerGraph
+from ..ops.gf2 import gf2_eliminate, pack_bits
+from ..ops.syndrome import make_syndrome_fn
+
+__all__ = ["ErasurePeelingDecoder", "make_peeling_decode_fn"]
+
+
+def make_peeling_decode_fn(graph: TannerGraph, *, on_stuck: str = "gf2",
+                           max_rounds: int | None = None):
+    """Build ``(syndromes [B, m], erasures [B, n]) -> (err i8, ok, rounds)``.
+
+    ``rounds`` is the number of parallel peeling rounds a lane needed
+    (the depth of its peeling forest), not counting the GF(2) completion.
+    """
+    if on_stuck not in ("gf2", "fail"):
+        raise ValueError(f"on_stuck must be 'gf2' or 'fail', got {on_stuck!r}")
+    m, n = graph.m, graph.n
+    cv = jnp.asarray(graph.chk_vars)  # [m, dc]
+    cm = jnp.asarray(graph.chk_mask)
+    syndrome_from = make_syndrome_fn(graph)
+    max_rounds = int(max_rounds) if max_rounds is not None else n
+    if on_stuck == "gf2":
+        if graph.H is None:
+            raise ValueError(
+                "on_stuck='gf2' needs a dense H on the graph (from_pcm); "
+                "use on_stuck='fail' for dense-free from_edges graphs"
+            )
+        Hd = jnp.asarray(np.asarray(graph.H, dtype=np.uint8))  # [m, n]
+
+    def peel(syndromes, erasures):
+        B = syndromes.shape[0]
+        s = syndromes.astype(jnp.int32)
+        eps = erasures.astype(bool)
+        bidx = jnp.arange(B)[:, None]
+
+        def cond(st):
+            _, eps, _, progressed, rounds = st
+            return progressed & (rounds < max_rounds)
+
+        def body(st):
+            err, eps, s, _, rounds = st
+            eg = eps[bidx[..., None], cv[None]] & cm[None]  # [B, m, dc]
+            degc = jnp.sum(eg, axis=-1)
+            det = degc == 1  # checks that determine their one erased bit
+            slot = jnp.argmax(eg, axis=-1)  # [B, m]
+            var = jnp.take_along_axis(
+                jnp.broadcast_to(cv[None], (B, m, cv.shape[1])),
+                slot[..., None], axis=-1,
+            )[..., 0]  # [B, m]
+            var_sc = jnp.where(det, var, n)  # inactive checks scatter to pad
+            newly = jnp.zeros((B, n + 1), bool).at[bidx, var_sc].max(det)[:, :n]
+            val = jnp.zeros((B, n + 1), jnp.int32).at[bidx, var_sc].max(
+                s * det
+            )[:, :n]
+            newly = newly & eps
+            err = jnp.where(newly, val, err)
+            # flip the checks of every newly-fixed 1-bit
+            delta = (newly & (val == 1)).astype(jnp.float32)
+            s_new = jnp.where(
+                jnp.any(newly, axis=1)[:, None],
+                s ^ syndrome_from(delta).astype(jnp.int32),
+                s,
+            )
+            progressed = jnp.any(newly, axis=1).any()
+            return err, eps & ~newly, s_new, progressed, rounds + 1
+
+        st0 = (jnp.zeros((B, n), jnp.int32), eps, s, jnp.bool_(True), jnp.int32(0))
+        err, eps_left, s_res, _, rounds = jax.lax.while_loop(cond, body, st0)
+        return err, eps_left, s_res, rounds
+
+    def solve_residual(eps_left, s_res):
+        """Exact completion: RREF of H with non-erased columns zeroed."""
+        Hm = Hd[None] * eps_left[:, None, :].astype(jnp.uint8)  # [B, m, n]
+        Hp = pack_bits(Hm)  # [B, m, W]
+        Ht = jnp.swapaxes(Hp, 1, 2)  # [B, W, m]
+
+        def lane(Ht_l, s_l):
+            Ht2, s2, pivcol, _ = gf2_eliminate(Ht_l, s_l.astype(jnp.uint32), n)
+            fix = jnp.zeros(n + 1, jnp.int32).at[pivcol].max(s2.astype(jnp.int32))
+            # rows without a pivot must carry zero syndrome, else no solution
+            solvable = jnp.all((pivcol < n) | (s2 == 0))
+            return fix[:n], solvable
+
+        return jax.vmap(lane)(Ht, s_res)
+
+    @functools.partial(jax.jit)
+    def decode(syndromes, erasures):
+        syndromes = jnp.asarray(syndromes)
+        erasures = jnp.asarray(erasures).astype(bool)
+        err, eps_left, s_res, rounds = peel(syndromes, erasures)
+        stuck = jnp.any(eps_left, axis=1)
+        if on_stuck == "gf2":
+            # cond-gated like the fused BP+OSD path: batches that peel
+            # clean never pay for the elimination
+            fix, solvable = jax.lax.cond(
+                jnp.any(stuck),
+                lambda: solve_residual(eps_left, s_res),
+                lambda: (
+                    jnp.zeros_like(err),
+                    jnp.ones(err.shape[0], bool),
+                ),
+            )
+            err = jnp.where(eps_left, fix, err)
+            ok = solvable
+        else:
+            ok = ~stuck
+        # safety net: declared-ok lanes must reproduce their syndromes
+        synhat = syndrome_from(err.astype(jnp.float32)).astype(syndromes.dtype)
+        ok = ok & jnp.all(synhat == syndromes, axis=1)
+        return err.astype(jnp.int8), ok, jnp.broadcast_to(rounds, ok.shape)
+
+    return decode
+
+
+class ErasurePeelingDecoder:
+    """Erasure-channel decoder: parallel peeling + optional exact GF(2)
+    completion of stopping sets.
+
+    Args:
+      H: parity-check matrix (dense, scipy.sparse, or ``TannerGraph``).
+      on_stuck: 'gf2' (default — ML completion of stopping sets via the
+        bit-packed elimination; needs dense H) or 'fail' (pure peeling,
+        dense-free).
+      max_rounds: cap on parallel peeling rounds (default n; the peeling
+        depth is usually far smaller).
+
+    Example:
+
+    >>> import numpy as np
+    >>> from ldpcdecoders_tpu.models.peeling import ErasurePeelingDecoder
+    >>> from ldpcdecoders_tpu import parity_check_matrix
+    >>> H = parity_check_matrix(120, 6, 3, rng=0)
+    >>> dec = ErasurePeelingDecoder(H)
+    >>> rng = np.random.default_rng(1)
+    >>> eps = rng.random(120) < 0.15          # erased positions
+    >>> e = eps & (rng.random(120) < 0.5)     # error inside the erasure
+    >>> syn = (H @ e) % 2
+    >>> err, ok = dec.decode(syn, eps)
+    >>> bool(ok), bool((err == e).all())
+    (True, True)
+    """
+
+    def __init__(self, H, *, on_stuck: str = "gf2", max_rounds: int | None = None):
+        if isinstance(H, TannerGraph):
+            self.graph = H
+        elif hasattr(H, "tocoo"):
+            coo = H.tocoo()
+            self.graph = TannerGraph.from_edges(coo.row, coo.col, *H.shape)
+        else:
+            self.graph = TannerGraph.from_pcm(np.asarray(H))
+        self.m, self.n = self.graph.m, self.graph.n
+        self.on_stuck = on_stuck
+        self._decode_fn = make_peeling_decode_fn(
+            self.graph, on_stuck=on_stuck, max_rounds=max_rounds
+        )
+
+    def batch_decode(self, syndromes, erasures):
+        """Decode ``[B, m]`` syndromes with ``[B, n]`` erasure masks.
+
+        Returns ``(errors [B, n] int8, ok [B] bool)``; ``ok`` lanes are
+        exactly syndrome-consistent with support inside the erasure.
+        """
+        syndromes = np.asarray(syndromes)
+        erasures = np.asarray(erasures)
+        if syndromes.ndim != 2 or syndromes.shape[1] != self.m:
+            raise ValueError(
+                f"expected syndromes of shape [B, {self.m}], got {syndromes.shape}"
+            )
+        if erasures.shape != (syndromes.shape[0], self.n):
+            raise ValueError(
+                f"expected erasures of shape [B={syndromes.shape[0]}, {self.n}], "
+                f"got {erasures.shape}"
+            )
+        err, ok, _ = self._decode_fn(syndromes, erasures)
+        return np.asarray(err), np.asarray(ok)
+
+    def decode(self, syndrome, erasure):
+        """Single-syndrome convenience; returns ``(error [n] int8, ok)``."""
+        err, ok = self.batch_decode(
+            np.asarray(syndrome)[None], np.asarray(erasure)[None]
+        )
+        return err[0], bool(ok[0])

@@ -1,0 +1,84 @@
+"""Erasure-channel peeling decoder: parallel leaf peeling + GF(2) completion."""
+
+import numpy as np
+import pytest
+
+import ldpcdecoders_tpu as lt
+from ldpcdecoders_tpu.models.peeling import ErasurePeelingDecoder
+
+
+@pytest.fixture(scope="module")
+def code():
+    H = lt.parity_check_matrix(120, 6, 3, rng=0)
+    return H, ErasurePeelingDecoder(H)
+
+
+def _channel(H, B, eps_rate, seed):
+    rng = np.random.default_rng(seed)
+    n = H.shape[1]
+    eps = rng.random((B, n)) < eps_rate
+    e = eps & (rng.random((B, n)) < 0.5)  # erased values uniform
+    syn = (e @ H.T) % 2
+    return eps, e, syn
+
+
+def test_peeling_exact_below_threshold(code):
+    H, dec = code
+    eps, e, syn = _channel(H, 64, 0.15, 1)
+    err, ok = dec.batch_decode(syn, eps)
+    assert ok.all()
+    assert np.array_equal(err, e.astype(np.int8))  # unique solution regime
+    assert not (err.astype(bool) & ~eps).any()  # support inside the erasure
+    assert err.dtype == np.int8
+
+
+def test_gf2_completion_solves_stopping_sets(code):
+    H, dec = code
+    eps, e, syn = _channel(H, 64, 0.5, 2)
+    err, ok = dec.batch_decode(syn, eps)
+    assert ok.all()  # a consistent solution always exists here
+    s2 = (err.astype(np.int64) @ H.T) % 2
+    assert (s2 == syn).all()
+    assert not (err.astype(bool) & ~eps).any()
+    # pure peeling stalls on the same instances
+    dec_f = ErasurePeelingDecoder(H, on_stuck="fail")
+    _, ok_f = dec_f.batch_decode(syn, eps)
+    assert ok_f.mean() < ok.mean()
+
+
+def test_inconsistent_syndrome_not_converged(code):
+    H, dec = code
+    # a syndrome touching checks with NO erased neighbors cannot be solved
+    eps = np.zeros((4, H.shape[1]), bool)
+    syn = np.zeros((4, H.shape[0]), np.int8)
+    syn[:, 0] = 1
+    err, ok = dec.batch_decode(syn, eps)
+    assert not ok.any()
+
+
+def test_single_decode_matches_lane0(code):
+    H, dec = code
+    eps, e, syn = _channel(H, 3, 0.2, 3)
+    err_b, ok_b = dec.batch_decode(syn, eps)
+    err_1, ok_1 = dec.decode(syn[0], eps[0])
+    assert np.array_equal(err_1, err_b[0]) and ok_1 == bool(ok_b[0])
+
+
+def test_peeling_validation_and_sparse(code):
+    H, dec = code
+    with pytest.raises(ValueError, match="syndromes of shape"):
+        dec.batch_decode(np.zeros((2, 3), np.int8), np.zeros((2, 120), bool))
+    with pytest.raises(ValueError, match="erasures of shape"):
+        dec.batch_decode(np.zeros((2, 60), np.int8), np.zeros((2, 7), bool))
+    with pytest.raises(ValueError, match="on_stuck"):
+        ErasurePeelingDecoder(H, on_stuck="explode")
+    # scipy.sparse input goes through from_edges; gf2 completion then
+    # requires a dense H, so it must refuse with guidance
+    sp = pytest.importorskip("scipy.sparse")
+    with pytest.raises(ValueError, match="dense H"):
+        ErasurePeelingDecoder(sp.csr_matrix(H), on_stuck="gf2")
+    dec_s = ErasurePeelingDecoder(sp.csr_matrix(H), on_stuck="fail")
+    eps, e, syn = _channel(H, 16, 0.1, 4)
+    err, ok = dec_s.batch_decode(syn, eps)
+    assert ok.mean() > 0.9
+    assert np.array_equal(err[ok], e[ok].astype(np.int8))

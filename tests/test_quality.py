@@ -15,6 +15,7 @@ def test_doctests():
         "ldpcdecoders_tpu.codes.qc",
         "ldpcdecoders_tpu.codes.bicycle",
         "ldpcdecoders_tpu.models.qc_minsum",
+        "ldpcdecoders_tpu.models.peeling",
         "ldpcdecoders_tpu.config",
         "ldpcdecoders_tpu.utils.metrics",
         "ldpcdecoders_tpu.models.bp",
@@ -63,7 +64,8 @@ def test_top_level_api_surface():
         "BeliefPropagationDecoder", "BeliefPropagationOSDDecoder",
         "BitFlipDecoder", "BPOTSDecoder", "MinSumDecoder",
         "QuantizedMinSumDecoder", "LayeredMinSumDecoder", "BucketedDecoder",
-        "QCMinSumDecoder", "qc_lift", "random_qc_base_matrix",
+        "QCMinSumDecoder", "ErasurePeelingDecoder", "qc_lift",
+        "random_qc_base_matrix",
         "bivariate_bicycle_code", "named_bicycle_code", "css_code_k",
         "DecoderConfig", "enable_compilation_cache", "parallel",
     ]
