@@ -82,3 +82,31 @@ def test_peeling_validation_and_sparse(code):
     err, ok = dec_s.batch_decode(syn, eps)
     assert ok.mean() > 0.9
     assert np.array_equal(err[ok], e[ok].astype(np.int8))
+
+
+def test_thresholds_bracket_theory():
+    """The decoder transitions where coding theory says it must: the
+    (3,6)-regular BEC peeling threshold is eps*=0.4294 and the ML
+    threshold 0.4882 (capacity at rate 1/2 is 0.5).  TPU artifact with
+    tight brackets at n=2400: benchmarks/results/erasure_threshold_r2.json."""
+    H = lt.parity_check_matrix(600, 6, 3, rng=0)
+    ml = ErasurePeelingDecoder(H)
+    pl = ErasurePeelingDecoder(H, on_stuck="fail")
+    rng = np.random.default_rng(0)
+    B, n = 256, 600
+
+    def run(rate):
+        eps = rng.random((B, n)) < rate
+        e = eps & (rng.random((B, n)) < 0.5)
+        syn = ((e @ H.T) % 2).astype(np.int8)
+        _, okp = pl.batch_decode(syn, eps)
+        errm, _ = ml.batch_decode(syn, eps)
+        return okp.mean(), (errm == e).all(axis=1).mean()
+
+    peel_lo, ml_lo = run(0.34)
+    assert peel_lo > 0.95 and ml_lo > 0.95  # well below both thresholds
+    peel_hi, ml_mid = run(0.48)
+    assert peel_hi < 0.1  # past the peeling threshold (0.4294)
+    assert ml_mid > 0.3  # ML still partially succeeds near its 0.4882
+    _, ml_hi = run(0.54)
+    assert ml_hi < 0.2  # past the ML threshold
