@@ -96,7 +96,8 @@ def make_bp_decode_fn(graph: TannerGraph, per: float, max_iters: int, dtype=jnp.
 
         Q0 = jnp.where(
             var_mask,
-            channel_ratio[None] if channel_ratio.ndim else channel_ratio,
+            # scalar, [n], or per-lane [B, n] -> broadcast over [.., dv, n]
+            channel_ratio[..., None, :] if channel_ratio.ndim else channel_ratio,
             one,
         ) * jnp.ones((B, 1, 1), dtype)  # [B, dv, n]
         state0 = (

@@ -139,10 +139,13 @@ def make_minsum_decode_fn(
         syn_f = syndromes.astype(jnp.float32)
         syn_flip = syndromes.astype(bool)
 
+        # L0 may be a scalar, [n], or per-lane [B, n] (mixed channels /
+        # per-shot soft information); normalize to [B, n] once
+        L0 = jnp.broadcast_to(L0, (B, n)).astype(dtype)
         state0 = (
-            jnp.broadcast_to(L0, (B, max_dv, n)).astype(dtype),  # nu (var->check)
+            jnp.broadcast_to(L0[:, None, :], (B, max_dv, n)),  # nu (var->check)
             jnp.zeros((B, n), jnp.float32),  # err
-            jnp.broadcast_to(L0, (B, n)).astype(dtype),  # llrs
+            L0,  # llrs
             jnp.zeros((B,), bool),
             jnp.int32(0),
             jnp.zeros((B,), jnp.int32),

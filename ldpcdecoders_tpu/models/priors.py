@@ -20,10 +20,16 @@ __all__ = [
 
 
 def validate_per(per, n: int) -> np.ndarray:
-    """Accept a scalar or [n] vector in (0, 1); return float64 ndarray."""
+    """Accept a scalar, an [n] vector, or a per-lane [B, n] matrix in
+    (0, 1); return float64 ndarray.
+
+    The [B, n] form carries *per-lane* priors — e.g. a mixed
+    erasure+flip channel where each lane's erased bits get p=0.5
+    (LLR 0 / ratio 1), or analog soft information per shot.
+    """
     per_arr = np.asarray(per, dtype=np.float64)
-    if per_arr.ndim not in (0, 1) or (per_arr.ndim == 1 and per_arr.shape[0] != n):
-        raise ValueError(f"per must be a scalar or a [{n}] vector")
+    if per_arr.ndim > 2 or (per_arr.ndim >= 1 and per_arr.shape[-1] != n):
+        raise ValueError(f"per must be a scalar, an [{n}] vector, or [B, {n}]")
     return per_arr
 
 

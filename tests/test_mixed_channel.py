@@ -1,0 +1,72 @@
+"""Per-lane [B, n] channel priors: the mixed erasure+flip channel.
+
+An erased bit carries no channel information — prior p=0.5 (LLR 0,
+probability ratio 1).  With per-lane priors a single compiled decoder
+handles every lane's erasure pattern: per = where(erasures, 0.5, p).
+"""
+
+import numpy as np
+import pytest
+
+import ldpcdecoders_tpu as lt
+
+
+@pytest.fixture(scope="module")
+def code():
+    return lt.parity_check_matrix(240, 6, 3, rng=0)
+
+
+def _mixed_channel(H, B, p_flip, p_erase, seed):
+    rng = np.random.default_rng(seed)
+    n = H.shape[1]
+    eps = rng.random((B, n)) < p_erase
+    flips = rng.random((B, n)) < p_flip
+    erased_vals = rng.random((B, n)) < 0.5
+    e = np.where(eps, erased_vals, flips)
+    syn = ((e @ H.T) % 2).astype(np.int8)
+    prior = np.where(eps, 0.5, p_flip)
+    return eps, e, syn, prior
+
+
+@pytest.mark.parametrize("make", [
+    lambda H: lt.BeliefPropagationDecoder(H, 0.02, 60),
+    lambda H: lt.MinSumDecoder(H, 0.02, 60),
+    lambda H: lt.LayeredMinSumDecoder(H, 0.02, 60),
+])
+def test_per_lane_prior_beats_scalar_on_mixed_channel(code, make):
+    H = code
+    dec = make(H)
+    eps, e, syn, prior = _mixed_channel(H, 96, 0.01, 0.12, 1)
+    out_s, conv_s = dec.batch_decode(syn)                # scalar prior
+    out_m, conv_m = dec.batch_decode(syn, per=prior)     # lane-aware prior
+    exact_s = (out_s.astype(bool) == e).all(axis=1).mean()
+    exact_m = (out_m.astype(bool) == e).all(axis=1).mean()
+    assert conv_m.mean() >= conv_s.mean()
+    assert exact_m > exact_s  # knowing the erasure locations must help
+    assert exact_m > 0.85
+
+
+def test_blockwise_constant_lane_prior_matches_vector(code):
+    """[B, n] rows all equal to one [n] vector must decode identically."""
+    H = code
+    dec = lt.MinSumDecoder(H, 0.02, 40)
+    rng = np.random.default_rng(2)
+    n = H.shape[1]
+    vec = np.full(n, 0.03)
+    vec[: n // 3] = 0.08
+    e = rng.random((24, n)) < 0.02
+    syn = ((e @ H.T) % 2).astype(np.int8)
+    out_v, conv_v = dec.batch_decode(syn, per=vec)
+    out_b, conv_b = dec.batch_decode(syn, per=np.tile(vec, (24, 1)))
+    assert np.array_equal(out_v, out_b)
+    assert np.array_equal(conv_v, conv_b)
+
+
+def test_per_shape_validation(code):
+    H = code
+    dec = lt.BeliefPropagationDecoder(H, 0.02, 10)
+    syn = np.zeros((4, H.shape[0]), np.int8)
+    with pytest.raises(ValueError, match="per must be"):
+        dec.batch_decode(syn, per=np.full((4, 7), 0.1))
+    with pytest.raises(ValueError, match="per must be"):
+        dec.batch_decode(syn, per=np.full((2, 3, H.shape[1]), 0.1))
