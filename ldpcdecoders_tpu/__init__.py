@@ -48,6 +48,7 @@ from .models import (
     CSSDecoder,
     QCMinSumDecoder,
     ErasurePeelingDecoder,
+    decode_soft,
 )
 from . import parallel
 from .config import DecoderConfig

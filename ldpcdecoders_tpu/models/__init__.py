@@ -1,4 +1,4 @@
-from .base import Decoder, DecodeStats, decode, batchdecode
+from .base import decode_soft, Decoder, DecodeStats, decode, batchdecode
 from .bp import BeliefPropagationDecoder
 from .bitflip import BitFlipDecoder
 from .bpots import BPOTSDecoder
@@ -27,4 +27,5 @@ __all__ = [
     "CSSDecoder",
     "QCMinSumDecoder",
     "ErasurePeelingDecoder",
+    "decode_soft",
 ]

@@ -151,3 +151,33 @@ def batchdecode(decoder: Decoder, syndromes, **kw):
     """Free-function form of ``decoder.batch_decode`` (reference
     ``batchdecode!``), batch-first."""
     return decoder.batch_decode(syndromes, **kw)
+
+
+def decode_soft(decoder: Decoder, llrs, *, seed: int = 0):
+    """Codeword-domain soft-input decoding from received channel LLRs.
+
+    The classical-FEC entry point (BPSK/AWGN etc.): given per-bit
+    received LLRs ``[B, n]`` (positive = bit 0 more likely), take the
+    hard decision, decode its syndrome with **per-lane priors** derived
+    from the LLR magnitudes (``p_wrong = 1/(1+e^{|llr|})``), and flip
+    the estimated error pattern back out.  Requires a decoder that
+    accepts ``[B, n]`` priors (BP / min-sum / layered min-sum).
+
+    The reference is syndrome-only; this wrapper adds the received-word
+    use-case on top of the same machinery.
+
+    Returns ``(codeword [B, n] int8, converged [B] bool)``.
+    """
+    from ..ops.syndrome import make_syndrome_fn
+
+    llrs = np.asarray(llrs, dtype=np.float64)
+    if llrs.ndim != 2 or llrs.shape[1] != decoder.n:
+        raise ValueError(f"expected llrs of shape [B, {decoder.n}], got {llrs.shape}")
+    hard = (llrs < 0).astype(np.int8)
+    syn_fn = make_syndrome_fn(decoder.graph)
+    syn = np.asarray(syn_fn(hard.astype(np.float32))).astype(np.int8)
+    # probability the hard decision is wrong; floor away from 0 so the
+    # prior stays finite for saturated LLRs
+    p_wrong = np.clip(1.0 / (1.0 + np.exp(np.abs(llrs))), 1e-12, 0.5)
+    err, converged = decoder.batch_decode(syn, seed=seed, per=p_wrong)
+    return (hard ^ err.astype(np.int8)).astype(np.int8), converged

@@ -70,3 +70,38 @@ def test_per_shape_validation(code):
         dec.batch_decode(syn, per=np.full((4, 7), 0.1))
     with pytest.raises(ValueError, match="per must be"):
         dec.batch_decode(syn, per=np.full((2, 3, H.shape[1]), 0.1))
+
+
+def test_decode_soft_awgn_waterfall(code):
+    """Soft-input codeword decoding (BPSK/AWGN, zero codeword): the
+    decoded BER must collapse well below the raw channel BER, and soft
+    inputs must beat hard-decision decoding of the same received words."""
+    H = code
+    dec = lt.MinSumDecoder(H, 0.02, 60)
+    rng = np.random.default_rng(0)
+    B, n = 128, H.shape[1]
+    sigma = 10 ** (-4.0 / 20)  # 4 dB
+    y = 1.0 + sigma * rng.standard_normal((B, n))
+    llrs = 2.0 * y / sigma**2
+    cw, ok = lt.decode_soft(dec, llrs)
+    raw_ber = (y < 0).mean()
+    assert raw_ber > 0.03
+    assert cw.mean() < raw_ber / 20
+    assert ok.mean() > 0.95
+    # hard-decision baseline: same hard words, scalar prior at the raw BER
+    hard = (y < 0).astype(np.int8)
+    syn = ((hard @ H.T) % 2).astype(np.int8)
+    err_h, ok_h = dec.batch_decode(syn, per=float(raw_ber))
+    ber_hard = (hard ^ err_h).mean()
+    assert cw.mean() <= ber_hard
+    assert ok.mean() >= ok_h.mean()
+
+
+def test_decode_soft_validation(code):
+    H = code
+    dec = lt.MinSumDecoder(H, 0.02, 10)
+    with pytest.raises(ValueError, match="llrs of shape"):
+        lt.decode_soft(dec, np.zeros((4, 7)))
+    # noiseless input decodes to the all-zero codeword instantly
+    cw, ok = lt.decode_soft(dec, np.full((4, H.shape[1]), 30.0))
+    assert ok.all() and cw.sum() == 0
