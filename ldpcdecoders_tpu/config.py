@@ -59,8 +59,8 @@ class DecoderConfig:
     #: qc_minsum only: 'auto' (fused Pallas kernel on TPU, XLA edge-list
     #: elsewhere), 'pallas', or 'xla'
     backend: str = "auto"
-    #: qc_minsum only: Pallas batch-tile size
-    batch_tile: int = 32
+    #: qc_minsum only: Pallas batch-tile size (None = auto-fit to VMEM)
+    batch_tile: int | None = None
     #: qc_minsum only: 'flooding' or 'layered' (serial-C over base rows)
     schedule: str = "flooding"
     #: qc_minsum only: 'minsum' or 'sumproduct' (exact tanh-rule BP)

@@ -66,9 +66,12 @@ class QCMinSumDecoder(Decoder):
         partition of the lifted graph, so the two backends match only
         behaviorally under 'layered', not bitwise).
       batch_tile: Pallas batch-tile size (lanes decoded per kernel
-        program); batches are padded up to a multiple of this.  32 is
-        the measured sweet spot on v5e (amortizes per-op control
+        program); batches are padded up to a multiple of this.  None
+        (default) auto-picks the largest power-of-two <= 32 whose
+        estimated VMEM footprint fits the measured budget; 32 is the
+        sweet spot on v5e when it fits (amortizes per-op control
         overhead while keeping per-tile early exit fine-grained).
+        Explicit values are honored as-is (and raise past the budget).
       dtype: message precision — jnp.float32 (default) or jnp.bfloat16
         (half the VMEM / register traffic; LLR outputs stay float32).
       interpret: run the Pallas kernel in interpreter mode (CPU tests).
@@ -99,7 +102,7 @@ class QCMinSumDecoder(Decoder):
         backend: str = "pallas",
         schedule: str = "flooding",
         algorithm: str = "minsum",
-        batch_tile: int = 32,
+        batch_tile: int | None = None,
         dtype=jnp.float32,
         interpret: bool = False,
     ):
@@ -131,7 +134,7 @@ class QCMinSumDecoder(Decoder):
         backend: str = "pallas",
         schedule: str = "flooding",
         algorithm: str = "minsum",
-        batch_tile: int = 32,
+        batch_tile: int | None = None,
         dtype=jnp.float32,
         interpret: bool = False,
     ) -> "QCMinSumDecoder":
@@ -235,8 +238,20 @@ class QCMinSumDecoder(Decoder):
         )
         self.beta = float(beta)
         self.backend = backend
-        self.batch_tile = int(batch_tile)
         self.dtype = jnp.dtype(dtype).type  # scalar type: callable like jnp.float32
+        if batch_tile is None:
+            # auto: the largest power-of-two tile <= 32 whose estimated
+            # VMEM footprint fits the measured budget (explicit values
+            # are honored as-is and raise past the budget)
+            from ..ops.pallas_qc import VMEM_BUDGET, qc_vmem_estimate
+
+            batch_tile = 32
+            while batch_tile > 1 and qc_vmem_estimate(
+                len(terms), mb, nb, Z, batch_tile,
+                jnp.dtype(dtype).itemsize, schedule == "layered",
+            ) > VMEM_BUDGET:
+                batch_tile //= 2
+        self.batch_tile = int(batch_tile)
         if backend == "pallas":
             from ..ops.pallas_qc import make_group_qc_minsum_pallas_fn
 

@@ -55,7 +55,21 @@ __all__ = [
     "make_qc_minsum_pallas_fn",
     "make_group_qc_minsum_pallas_fn",
     "qc_term_adjacency",
+    "qc_vmem_estimate",
+    "VMEM_BUDGET",
 ]
+
+#: measured compile boundary on v5e (see make_group_qc_minsum_pallas_fn)
+VMEM_BUDGET = 14 * 2**20
+
+
+def qc_vmem_estimate(Eb: int, mb: int, nb: int, Z: int, batch_tile: int,
+                     itemsize: int, layered: bool) -> int:
+    """Approximate VMEM footprint (bytes) of the fused kernel: message
+    scratch + double-buffered in/out blocks."""
+    scratch = (Eb + (nb if layered else Eb)) * batch_tile * Z * itemsize
+    io = 2 * (nb * 4 + nb * 4 + mb * 4) * batch_tile * Z  # err+llr+syn
+    return scratch + io
 
 
 def qc_term_adjacency(terms, mb: int, nb: int):
@@ -164,10 +178,8 @@ def make_group_qc_minsum_pallas_fn(
     # (6,3)-regular nb=24 code compiles at Z=384 f32 BT=32 (~10.6 MiB by
     # this estimate) and fails at Z=768 (~21 MiB), so refuse past ~14 MiB
     # with actionable guidance instead of an opaque remote-compile error.
-    scratch_b = (Eb + (nb if layered else Eb)) * BT * Z * f32.itemsize
-    io_b = 2 * (nb * 4 + nb * 4 + mb * 4) * BT * Z  # err i32 + llr f32 + syn i32
-    est = scratch_b + io_b
-    if est > 14 * 2**20 and not interpret:
+    est = qc_vmem_estimate(Eb, mb, nb, Z, BT, f32.itemsize, layered)
+    if est > VMEM_BUDGET and not interpret:
         raise ValueError(
             f"estimated VMEM footprint {est / 2**20:.1f} MiB exceeds the ~14 MiB "
             f"budget (Eb={Eb}, nb={nb}, Z={Z}, batch_tile={BT}, {f32.name}): "

@@ -540,3 +540,17 @@ def test_config_qc_algorithm(small_qc):
     err = (rng.random(dec.n) < 0.01).astype(np.int8)
     out, conv = dec.decode((H @ err) % 2)
     assert conv and np.array_equal(out, err)
+
+
+def test_auto_batch_tile_fits_vmem():
+    import jax.numpy as jnp
+
+    base = random_qc_base_matrix(24, 6, 3, 768, rng=7)
+    # default tile auto-shrinks to fit the budget instead of raising
+    d_f32 = lt.QCMinSumDecoder(base, 768, 0.04, 8, backend="pallas")
+    d_bf16 = lt.QCMinSumDecoder(base, 768, 0.04, 8, backend="pallas",
+                                dtype=jnp.bfloat16)
+    assert d_f32.batch_tile == 16
+    assert d_bf16.batch_tile == 16  # io (f32/i32 outputs) dominates here
+    small = random_qc_base_matrix(6, 3, 2, 16, rng=5)
+    assert lt.QCMinSumDecoder(small, 16, 0.04, 8, interpret=True).batch_tile == 32
