@@ -72,12 +72,17 @@ def test_per_shape_validation(code):
         dec.batch_decode(syn, per=np.full((2, 3, H.shape[1]), 0.1))
 
 
-def test_decode_soft_awgn_waterfall(code):
+@pytest.mark.parametrize("make", [
+    lambda H: lt.MinSumDecoder(H, 0.02, 60),
+    lambda H: lt.BeliefPropagationDecoder(H, 0.02, 60),
+    lambda H: lt.LayeredMinSumDecoder(H, 0.02, 60),
+])
+def test_decode_soft_awgn_waterfall(code, make):
     """Soft-input codeword decoding (BPSK/AWGN, zero codeword): the
     decoded BER must collapse well below the raw channel BER, and soft
     inputs must beat hard-decision decoding of the same received words."""
     H = code
-    dec = lt.MinSumDecoder(H, 0.02, 60)
+    dec = make(H)
     rng = np.random.default_rng(0)
     B, n = 128, H.shape[1]
     sigma = 10 ** (-4.0 / 20)  # 4 dB
