@@ -50,6 +50,12 @@ def run(n=1200, wr=6, wc=3, batch=4096, max_iters=60, snrs=(1.0, 2.0, 3.0, 4.0, 
         "points": {str(k): v for k, v in points.items()},
         "device": str(jax.devices()[0]),
     }
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "results", "awgn_ber_r2.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
     print(json.dumps(out))
     return out
 

@@ -403,9 +403,15 @@ def css_logical_sweep(
     Hz = np.asarray(Hz) if not hasattr(Hz, "tocsr") else Hz
     n = Hx.shape[1]
     out = {}
+    # one decoder pair compiled at the first noise point, later points
+    # passed as traced prior overrides (FERSweep's shared-program
+    # pattern — a fresh CSSDecoder per point would recompile both block
+    # programs every time); kinds without override support fall back
+    shared = CSSDecoder(Hx, Hz, per=float(pers[0]), max_iters=max_iters,
+                        decoder=decoder, **knobs)
+    per_kw_ok = True
     for per in pers:
-        dec = CSSDecoder(Hx, Hz, per=per, max_iters=max_iters,
-                         decoder=decoder, **knobs)
+        dec = shared
         per_hash = int(per * 1e9) & 0x7FFFFFFF
         trials = zf_cnt = xf_cnt = anyf_cnt = zc_cnt = xc_cnt = 0
         step = 0
@@ -422,7 +428,22 @@ def css_logical_sweep(
             x_true = sample_errors(rng, b, n, per)
             syn_x = syndromes_of(Hx, z_true)
             syn_z = syndromes_of(Hz, x_true)
-            z_hat, x_hat, zc, xc = dec.batch_decode(syn_x, syn_z, seed=decode_seed)
+            try:
+                if per_kw_ok:
+                    z_hat, x_hat, zc, xc = dec.batch_decode(
+                        syn_x, syn_z, seed=decode_seed, per=float(per)
+                    )
+                else:
+                    raise ValueError  # route to the per-point decoder
+            except ValueError:
+                per_kw_ok = False
+                if dec is shared and per != pers[0]:
+                    dec = CSSDecoder(Hx, Hz, per=float(per),
+                                     max_iters=max_iters, decoder=decoder,
+                                     **knobs)
+                z_hat, x_hat, zc, xc = dec.batch_decode(
+                    syn_x, syn_z, seed=decode_seed
+                )
             zf, xf = dec.logical_failures(z_true, z_hat, x_true, x_hat)
             trials += b
             step += 1

@@ -76,6 +76,11 @@ class Decoder:
         ensure_default_cache()
         if per is None:
             return self._decode_batch(syndromes, seed)
+        if np.ndim(per) == 2 and np.shape(per)[0] != np.shape(syndromes)[0]:
+            raise ValueError(
+                f"per-lane prior batch ({np.shape(per)[0]}) must match the "
+                f"syndrome batch ({np.shape(syndromes)[0]})"
+            )
         if not self.supports_per_override:
             raise ValueError(
                 f"{type(self).__name__} does not support per-call channel "
@@ -174,7 +179,10 @@ def decode_soft(decoder: Decoder, llrs, *, seed: int = 0):
     if llrs.ndim != 2 or llrs.shape[1] != decoder.n:
         raise ValueError(f"expected llrs of shape [B, {decoder.n}], got {llrs.shape}")
     hard = (llrs < 0).astype(np.int8)
-    syn_fn = make_syndrome_fn(decoder.graph)
+    syn_fn = getattr(decoder, "_soft_syndrome_fn", None)
+    if syn_fn is None:  # build once; re-used across streaming calls
+        syn_fn = make_syndrome_fn(decoder.graph)
+        decoder._soft_syndrome_fn = syn_fn
     syn = np.asarray(syn_fn(hard.astype(np.float32))).astype(np.int8)
     # probability the hard decision is wrong; floor away from 0 so the
     # prior stays finite for saturated LLRs

@@ -95,12 +95,15 @@ class CSSDecoder:
                 "(bp, bposd, minsum, layered_minsum, bpots)"
             )
 
-    def batch_decode(self, syndromes_x, syndromes_z, *, seed: int = 0):
+    def batch_decode(self, syndromes_x, syndromes_z, *, seed: int = 0, per=None):
         """Decode both blocks.
 
         Args:
           syndromes_x: ``[B, mx]`` syndromes of the X stabilizers.
           syndromes_z: ``[B, mz]`` syndromes of the Z stabilizers.
+          per: optional channel-prior override forwarded to both block
+            decoders (traced argument — one compiled program serves
+            every noise point of a sweep).
 
         Returns ``(z_errors, x_errors, z_converged, x_converged)`` where
         ``z_errors [B, n]`` reproduce ``syndromes_x`` and ``x_errors``
@@ -113,10 +116,11 @@ class CSSDecoder:
                 f"X and Z syndrome batches must pair up per shot: "
                 f"{syndromes_x.shape[0]} != {syndromes_z.shape[0]}"
             )
+        prior = per if per is not None else (self._per if self._vector_prior else None)
 
         def run(block, syn, s):
-            if self._vector_prior:
-                return block.batch_decode(syn, seed=s, per=self._per)
+            if prior is not None:
+                return block.batch_decode(syn, seed=s, per=prior)
             return block.batch_decode(syn, seed=s)
 
         z_err, z_conv = run(self.x_block, syndromes_x, seed)

@@ -63,7 +63,13 @@ def make_peeling_decode_fn(graph: TannerGraph, *, on_stuck: str = "gf2",
                 "on_stuck='gf2' needs a dense H on the graph (from_pcm); "
                 "use on_stuck='fail' for dense-free from_edges graphs"
             )
-        Hd = jnp.asarray(np.asarray(graph.H, dtype=np.uint8))  # [m, n]
+        # pre-packed rows [m, W] uint32: the per-lane column mask is then
+        # a packed AND, never materializing the dense [B, m, n] product
+        Hp0 = jnp.asarray(
+            np.asarray(
+                pack_bits(jnp.asarray(np.asarray(graph.H, dtype=np.uint8)))
+            )
+        )
 
     def peel(syndromes, erasures):
         B = syndromes.shape[0]
@@ -108,8 +114,8 @@ def make_peeling_decode_fn(graph: TannerGraph, *, on_stuck: str = "gf2",
 
     def solve_residual(eps_left, s_res):
         """Exact completion: RREF of H with non-erased columns zeroed."""
-        Hm = Hd[None] * eps_left[:, None, :].astype(jnp.uint8)  # [B, m, n]
-        Hp = pack_bits(Hm)  # [B, m, W]
+        eps_p = pack_bits(eps_left)  # [B, W]
+        Hp = Hp0[None] & eps_p[:, None, :]  # [B, m, W] packed masked rows
         Ht = jnp.swapaxes(Hp, 1, 2)  # [B, W, m]
 
         def lane(Ht_l, s_l):

@@ -308,9 +308,11 @@ class QCMinSumDecoder(Decoder):
             arg = None
             if per is not None:
                 if self.algorithm == "sumproduct":
-                    # bp decode takes the channel probability ratio p/(1-p)
-                    arg = jnp.full((self.n,), float(per) / (1.0 - float(per)),
-                                   jnp.float32)
+                    # bp decode takes the channel probability ratio p/(1-p);
+                    # per_to_ratio handles scalar/[n]/[B, n] uniformly
+                    from .priors import per_to_ratio
+
+                    arg = jnp.asarray(per_to_ratio(per, self.n), jnp.float32)
                 else:
                     arg = jnp.asarray(per_to_llr(per, self.n), jnp.float32)
             err, converged, iters, soft = self._decode_fn(syndromes, arg)

@@ -263,7 +263,10 @@ def make_group_qc_minsum_pallas_fn(
             negs = [nc < 0.0 for nc in ncs]
             min1 = mags[0]
             idx1 = jnp.zeros((BT, Z), jnp.int32)
-            min2 = jnp.full((BT, Z), jnp.inf, jnp.float32)
+            # finite sentinel (not inf): a weight-1 base row's exclusive
+            # min is this value, and inf would propagate NaN through the
+            # variable totals; 1e30 matches the XLA path's `big`
+            min2 = jnp.full((BT, Z), 1e30, jnp.float32)
             parity = negs[0]
             for k in range(1, len(ncs)):
                 v = mags[k]

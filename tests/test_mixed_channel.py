@@ -110,3 +110,11 @@ def test_decode_soft_validation(code):
     # noiseless input decodes to the all-zero codeword instantly
     cw, ok = lt.decode_soft(dec, np.full((4, H.shape[1]), 30.0))
     assert ok.all() and cw.sum() == 0
+
+
+def test_per_lane_batch_mismatch_rejected(code):
+    H = code
+    dec = lt.MinSumDecoder(H, 0.02, 10)
+    syn = np.zeros((4, H.shape[0]), np.int8)
+    with pytest.raises(ValueError, match="per-lane prior batch"):
+        dec.batch_decode(syn, per=np.full((8, H.shape[1]), 0.1))

@@ -554,3 +554,32 @@ def test_auto_batch_tile_fits_vmem():
     assert d_bf16.batch_tile == 16  # io (f32/i32 outputs) dominates here
     small = random_qc_base_matrix(6, 3, 2, 16, rng=5)
     assert lt.QCMinSumDecoder(small, 16, 0.04, 8, interpret=True).batch_tile == 32
+
+
+def test_qc_weight_one_row_finite_llrs():
+    """A weight-1 base row must emit finite messages (review finding:
+    an inf min2 sentinel propagated NaN through the variable totals)."""
+    base = np.array([[0], [1]])
+    dp = lt.QCMinSumDecoder(base, 4, 0.05, 5, backend="pallas",
+                            interpret=True, batch_tile=4)
+    dx = lt.QCMinSumDecoder(base, 4, 0.05, 5, backend="xla")
+    syn = np.zeros((4, dp.m), np.int8)
+    syn[0, 0] = 1
+    ep, cp, ip, auxp, _ = dp.batch_decode_detailed(syn)
+    ex, cx, ix, auxx, _ = dx.batch_decode_detailed(syn)
+    assert np.isfinite(np.asarray(auxp["llrs"])).all()
+    assert np.array_equal(ep, ex)
+    assert np.array_equal(cp, cx)
+
+
+def test_qc_sumproduct_xla_vector_prior(small_qc):
+    base, Z, H = small_qc
+    dec = lt.QCMinSumDecoder(base, Z, 0.02, 20, backend="xla",
+                             algorithm="sumproduct")
+    rng = np.random.default_rng(15)
+    errs = (rng.random((8, dec.n)) < 0.01).astype(np.int8)
+    syn = (errs @ H.T) % 2
+    out, conv = dec.batch_decode(syn, per=np.full(dec.n, 0.02))
+    assert conv.mean() > 0.9
+    s2 = (out.astype(np.int64) @ H.T) % 2
+    assert (s2[conv] == syn[conv]).all()
