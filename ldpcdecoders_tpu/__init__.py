@@ -48,6 +48,7 @@ from .models import (
     CSSDecoder,
     QCMinSumDecoder,
     ErasurePeelingDecoder,
+    MixedChannelDecoder,
     decode_soft,
 )
 from . import parallel

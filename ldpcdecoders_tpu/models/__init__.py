@@ -10,6 +10,7 @@ from .bucketed import BucketedDecoder
 from .css import CSSDecoder
 from .qc_minsum import QCMinSumDecoder
 from .peeling import ErasurePeelingDecoder
+from .mixed import MixedChannelDecoder
 
 __all__ = [
     "Decoder",
@@ -27,5 +28,6 @@ __all__ = [
     "CSSDecoder",
     "QCMinSumDecoder",
     "ErasurePeelingDecoder",
+    "MixedChannelDecoder",
     "decode_soft",
 ]

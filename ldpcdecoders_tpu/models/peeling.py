@@ -40,36 +40,23 @@ from ..codes.graph import TannerGraph
 from ..ops.gf2 import gf2_eliminate, pack_bits
 from ..ops.syndrome import make_syndrome_fn
 
-__all__ = ["ErasurePeelingDecoder", "make_peeling_decode_fn"]
+__all__ = ["ErasurePeelingDecoder", "make_peeling_decode_fn", "make_peel_fn"]
 
 
-def make_peeling_decode_fn(graph: TannerGraph, *, on_stuck: str = "gf2",
-                           max_rounds: int | None = None):
-    """Build ``(syndromes [B, m], erasures [B, n]) -> (err i8, ok, rounds)``.
+def make_peel_fn(graph: TannerGraph, max_rounds: int | None = None):
+    """Build the parallel leaf-peeling core.
 
-    ``rounds`` is the number of parallel peeling rounds a lane needed
-    (the depth of its peeling forest), not counting the GF(2) completion.
+    Returns ``peel(syndromes [B, m] int-like, erasures [B, n] bool) ->
+    (err [B, n] int32, eps_left [B, n] bool, s_res [B, m] int32,
+    rounds int32)`` — the fixed-point of simultaneous degree-1-check
+    resolution.  Shared by the pure erasure decoder below and the
+    mixed-channel decoder (models/mixed.py).
     """
-    if on_stuck not in ("gf2", "fail"):
-        raise ValueError(f"on_stuck must be 'gf2' or 'fail', got {on_stuck!r}")
     m, n = graph.m, graph.n
     cv = jnp.asarray(graph.chk_vars)  # [m, dc]
     cm = jnp.asarray(graph.chk_mask)
     syndrome_from = make_syndrome_fn(graph)
     max_rounds = int(max_rounds) if max_rounds is not None else n
-    if on_stuck == "gf2":
-        if graph.H is None:
-            raise ValueError(
-                "on_stuck='gf2' needs a dense H on the graph (from_pcm); "
-                "use on_stuck='fail' for dense-free from_edges graphs"
-            )
-        # pre-packed rows [m, W] uint32: the per-lane column mask is then
-        # a packed AND, never materializing the dense [B, m, n] product
-        Hp0 = jnp.asarray(
-            np.asarray(
-                pack_bits(jnp.asarray(np.asarray(graph.H, dtype=np.uint8)))
-            )
-        )
 
     def peel(syndromes, erasures):
         B = syndromes.shape[0]
@@ -111,6 +98,35 @@ def make_peeling_decode_fn(graph: TannerGraph, *, on_stuck: str = "gf2",
         st0 = (jnp.zeros((B, n), jnp.int32), eps, s, jnp.bool_(True), jnp.int32(0))
         err, eps_left, s_res, _, rounds = jax.lax.while_loop(cond, body, st0)
         return err, eps_left, s_res, rounds
+
+    return peel
+
+
+def make_peeling_decode_fn(graph: TannerGraph, *, on_stuck: str = "gf2",
+                           max_rounds: int | None = None):
+    """Build ``(syndromes [B, m], erasures [B, n]) -> (err i8, ok, rounds)``.
+
+    ``rounds`` is the number of parallel peeling rounds a lane needed
+    (the depth of its peeling forest), not counting the GF(2) completion.
+    """
+    if on_stuck not in ("gf2", "fail"):
+        raise ValueError(f"on_stuck must be 'gf2' or 'fail', got {on_stuck!r}")
+    m, n = graph.m, graph.n
+    syndrome_from = make_syndrome_fn(graph)
+    peel = make_peel_fn(graph, max_rounds)
+    if on_stuck == "gf2":
+        if graph.H is None:
+            raise ValueError(
+                "on_stuck='gf2' needs a dense H on the graph (from_pcm); "
+                "use on_stuck='fail' for dense-free from_edges graphs"
+            )
+        # pre-packed rows [m, W] uint32: the per-lane column mask is then
+        # a packed AND, never materializing the dense [B, m, n] product
+        Hp0 = jnp.asarray(
+            np.asarray(
+                pack_bits(jnp.asarray(np.asarray(graph.H, dtype=np.uint8)))
+            )
+        )
 
     def solve_residual(eps_left, s_res):
         """Exact completion: RREF of H with non-erased columns zeroed."""

@@ -118,3 +118,111 @@ def test_per_lane_batch_mismatch_rejected(code):
     syn = np.zeros((4, H.shape[0]), np.int8)
     with pytest.raises(ValueError, match="per-lane prior batch"):
         dec.batch_decode(syn, per=np.full((8, H.shape[1]), 0.1))
+
+
+# ---------------------------------------------------------------------------
+# MixedChannelDecoder: the combined peel -> prior-BP (-> OSD) pipeline
+# ---------------------------------------------------------------------------
+
+
+def test_mixed_decoder_recovers_mixed_channel(code):
+    H = code
+    dec = lt.MixedChannelDecoder(H, 0.01, 60)
+    eps, e, syn, _ = _mixed_channel(H, 96, 0.01, 0.10, 3)
+    err, ok, rounds, bp_iters = dec.batch_decode_detailed(syn, eps)
+    exact = (err.astype(bool) == e).all(axis=1)
+    assert exact.mean() > 0.85
+    # every ok lane is exactly syndrome-consistent
+    synhat = (err.astype(np.int64) @ H.T) % 2
+    assert (synhat[ok] == syn[ok]).all()
+    assert bp_iters > 0  # flips force the BP stage
+
+
+def test_mixed_decoder_erasure_only_skips_bp(code):
+    """A batch whose every lane peels clean must never pay for BP."""
+    H = code
+    n = H.shape[1]
+    dec = lt.MixedChannelDecoder(H, 0.01, 60)
+    rng = np.random.default_rng(4)
+    # low erasure rate -> no stopping sets on this (6,3) code
+    eps = rng.random((64, n)) < 0.03
+    e = np.where(eps, rng.random((64, n)) < 0.5, False)
+    syn = ((e @ H.T) % 2).astype(np.int8)
+    err, ok, rounds, bp_iters = dec.batch_decode_detailed(syn, eps)
+    if bool(ok.all()):  # no stopping set in this stream (expected)
+        assert bp_iters == 0
+        assert (err.astype(bool) == e).all()
+    # and it agrees with the dedicated erasure decoder
+    ref = lt.ErasurePeelingDecoder(H, on_stuck="fail")
+    err_p, ok_p = ref.batch_decode(syn, eps)
+    assert np.array_equal(ok, ok_p)
+    assert np.array_equal(err[ok], err_p[ok_p])
+
+
+def test_mixed_decoder_osd_completion_closes_stopping_sets(code):
+    """osd_order=0: output is syndrome-consistent on every solvable lane,
+    matching the pure-erasure decoder's exact GF(2) completion power."""
+    H = code
+    n = H.shape[1]
+    dec = lt.MixedChannelDecoder(H, 0.01, 60, osd_order=0)
+    rng = np.random.default_rng(5)
+    eps = rng.random((64, n)) < 0.12  # high enough for stopping sets
+    e = np.where(eps, rng.random((64, n)) < 0.5, rng.random((64, n)) < 0.01)
+    syn = ((e @ H.T) % 2).astype(np.int8)
+    err, ok = dec.batch_decode(syn, eps)
+    assert ok.all()
+    synhat = (err.astype(np.int64) @ H.T) % 2
+    assert (synhat == syn).all()
+
+
+@pytest.mark.parametrize("algorithm", ["minsum", "sumproduct"])
+def test_mixed_decoder_strategies_agree_on_ok_lanes(code, algorithm):
+    """peel+bp and plain prior-BP must reach syndrome-consistent answers
+    on the same channel; peel+bp may only improve convergence."""
+    H = code
+    eps, e, syn, _ = _mixed_channel(H, 64, 0.01, 0.08, 6)
+    d_pb = lt.MixedChannelDecoder(H, 0.01, 60, algorithm=algorithm)
+    d_bp = lt.MixedChannelDecoder(H, 0.01, 60, algorithm=algorithm, strategy="bp")
+    err1, ok1 = d_pb.batch_decode(syn, eps)
+    err2, ok2 = d_bp.batch_decode(syn, eps)
+    assert ok1.mean() >= ok2.mean()
+    for err, ok in ((err1, ok1), (err2, ok2)):
+        synhat = (err.astype(np.int64) @ H.T) % 2
+        assert (synhat[ok] == syn[ok]).all()
+
+
+def test_mixed_decoder_dense_free_graph(code):
+    """peel+bp runs on a from_edges graph (no dense H materialized)."""
+    H = code
+    rows, cols = np.nonzero(H)
+    graph = lt.TannerGraph.from_edges(rows, cols, *H.shape)
+    dec = lt.MixedChannelDecoder(graph, 0.01, 60)
+    eps, e, syn, _ = _mixed_channel(H, 32, 0.005, 0.06, 7)
+    err, ok = dec.batch_decode(syn, eps)
+    assert ok.mean() > 0.9
+    synhat = (err.astype(np.int64) @ H.T) % 2
+    assert (synhat[ok] == syn[ok]).all()
+
+
+def test_mixed_decoder_per_override(code):
+    """One compiled program serves every flip rate of a sweep."""
+    H = code
+    dec = lt.MixedChannelDecoder(H, 0.01, 60)
+    eps, e, syn, _ = _mixed_channel(H, 32, 0.02, 0.08, 8)
+    err_a, ok_a = dec.batch_decode(syn, eps, per=0.02)
+    err_b, ok_b = dec.batch_decode(syn, eps, per=np.full(H.shape[1], 0.02))
+    assert np.array_equal(err_a, err_b)
+    assert np.array_equal(ok_a, ok_b)
+
+
+def test_mixed_decoder_validation(code):
+    H = code
+    with pytest.raises(ValueError, match="algorithm must be"):
+        lt.MixedChannelDecoder(H, 0.01, 10, algorithm="nope")
+    with pytest.raises(ValueError, match="strategy must be"):
+        lt.MixedChannelDecoder(H, 0.01, 10, strategy="nope")
+    dec = lt.MixedChannelDecoder(H, 0.01, 10)
+    with pytest.raises(ValueError, match="syndromes of shape"):
+        dec.batch_decode(np.zeros((4, 7), np.int8), np.zeros((4, H.shape[1]), bool))
+    with pytest.raises(ValueError, match="erasures of shape"):
+        dec.batch_decode(np.zeros((4, H.shape[0]), np.int8), np.zeros((4, 7), bool))

@@ -64,7 +64,8 @@ def test_top_level_api_surface():
         "BeliefPropagationDecoder", "BeliefPropagationOSDDecoder",
         "BitFlipDecoder", "BPOTSDecoder", "MinSumDecoder",
         "QuantizedMinSumDecoder", "LayeredMinSumDecoder", "BucketedDecoder",
-        "QCMinSumDecoder", "ErasurePeelingDecoder", "decode_soft",
+        "QCMinSumDecoder", "ErasurePeelingDecoder", "MixedChannelDecoder",
+        "decode_soft",
         "qc_lift", "random_qc_base_matrix",
         "bivariate_bicycle_code", "named_bicycle_code", "css_code_k",
         "DecoderConfig", "enable_compilation_cache", "parallel",
