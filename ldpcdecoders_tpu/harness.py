@@ -21,7 +21,7 @@ import numpy as np
 from .models.base import Decoder
 from .utils.io import atomic_write_json, read_json
 from .utils.metrics import wilson_interval
-from .utils.noise import sample_errors, syndromes_of
+from .utils.noise import sample_errors, sample_mixed_channel, syndromes_of
 
 __all__ = ["FERSweep", "SweepPoint", "find_threshold", "css_logical_sweep"]
 
@@ -468,5 +468,87 @@ def css_logical_sweep(
             "z_converged": zc_cnt / trials,
             "x_converged": xc_cnt / trials,
             "throughput_pairs_per_s": trials / dt if dt else 0.0,
+        }
+    return out
+
+
+def mixed_fer_sweep(
+    H,
+    p_flip: float,
+    erasure_rates: Sequence[float],
+    *,
+    trials_per_point: int,
+    max_iters: int = 60,
+    batch: int = 256,
+    seed: int = 0,
+    algorithm: str = "minsum",
+    strategy: str = "peel+bp",
+    osd_order: int | None = None,
+    **knobs,
+) -> dict:
+    """FER sweep over erasure rates on the mixed erasure + bit-flip channel.
+
+    The mixed-channel analog of :class:`FERSweep`: at each erasure rate
+    a batch of (erasure mask, error) pairs is injected
+    (``utils.noise.sample_mixed_channel``: erased bits uniform, the rest
+    flipped with ``p_flip``) and decoded by one shared
+    :class:`~ldpcdecoders_tpu.models.mixed.MixedChannelDecoder` — the
+    erasure pattern is data, not program, so every point reuses the same
+    compiled decode.  RNG discipline matches FERSweep: each (point, step)
+    consumes its own counted stream, so re-runs reproduce exactly.
+
+    Returns ``{eps: {"trials", "exact_failure_rate", *_ci95,
+    "syndrome_mismatch_rate", "ok_rate", "bp_engaged_steps",
+    "mean_peel_rounds", "throughput_decodes_per_s"}}`` —
+    ``bp_engaged_steps`` counts decode calls whose cond-gated BP stage
+    actually ran (0 for erasure-dominated points that peel clean).
+    """
+    from .models.mixed import MixedChannelDecoder
+
+    dec = MixedChannelDecoder(
+        H, p_flip, max_iters, algorithm=algorithm, strategy=strategy,
+        osd_order=osd_order, **knobs,
+    )
+    n = dec.n
+    out = {}
+    for eps in erasure_rates:
+        eps = float(eps)
+        eps_hash = int(eps * 1e9) & 0x7FFFFFFF
+        trials = exact_fail = smismatch = not_ok = bp_steps = 0
+        rounds_sum = 0
+        step = 0
+        t0 = time.perf_counter()
+        while trials < trials_per_point:
+            b = min(batch, trials_per_point - trials)
+            rng = np.random.default_rng((seed, eps_hash, step))
+            erasures, errs = sample_mixed_channel(rng, b, n, p_flip, eps)
+            syns = syndromes_of(H, errs)
+            guesses, ok, peel_rounds, bp_iters = dec.batch_decode_detailed(
+                syns, erasures
+            )
+            exact = (guesses.astype(bool) == errs).all(axis=1)
+            synhat = syndromes_of(H, guesses)
+            smatch = (synhat == syns).all(axis=1)
+            trials += b
+            step += 1
+            exact_fail += int(b - exact.sum())
+            smismatch += int(b - smatch.sum())
+            not_ok += int(b - ok.sum())
+            bp_steps += int(bp_iters > 0)
+            rounds_sum += int(peel_rounds.sum())
+        dt = time.perf_counter() - t0
+        lo, hi = wilson_interval(exact_fail, trials)
+        out[eps] = {
+            "erasure_rate": eps,
+            "p_flip": float(p_flip),
+            "trials": trials,
+            "exact_failure_rate": exact_fail / trials,
+            "exact_failure_ci95": [lo, hi],
+            "syndrome_mismatch_rate": smismatch / trials,
+            "ok_rate": 1.0 - not_ok / trials,
+            "bp_engaged_steps": bp_steps,
+            "steps": step,
+            "mean_peel_rounds": rounds_sum / trials,
+            "throughput_decodes_per_s": trials / dt if dt else 0.0,
         }
     return out

@@ -3,6 +3,7 @@ from .noise import (
     syndromes_of,
     syndromes_from_edges,
     sample_errors_device,
+    sample_mixed_channel,
 )
 from .metrics import (
     exact_recovery_ler,

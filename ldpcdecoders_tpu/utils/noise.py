@@ -15,6 +15,7 @@ __all__ = [
     "syndromes_of",
     "syndromes_from_edges",
     "sample_errors_device",
+    "sample_mixed_channel",
 ]
 
 
@@ -62,3 +63,22 @@ def sample_errors_device(key, batch: int, n: int, per: float):
     import jax
 
     return jax.random.bernoulli(key, per, (batch, n))
+
+
+def sample_mixed_channel(rng, batch: int, n: int, p_flip: float, p_erase: float):
+    """Sample the mixed erasure + bit-flip channel (host).
+
+    Returns ``(erasures [batch, n] bool, errors [batch, n] bool)``:
+    each bit is independently erased with probability ``p_erase``
+    (erased bits take a uniform random value — the decoder knows the
+    location, not the value); non-erased bits flip with ``p_flip``.
+    """
+    if isinstance(rng, (int, np.integer)) or rng is None:
+        rng = np.random.default_rng(rng)
+    erasures = rng.random((batch, n)) < p_erase
+    errors = np.where(
+        erasures,
+        rng.random((batch, n)) < 0.5,
+        rng.random((batch, n)) < p_flip,
+    )
+    return erasures, errors

@@ -154,3 +154,23 @@ def test_find_threshold_validation():
         find_threshold(H, lambda p: lt.MinSumDecoder(H, p, 5), lo=0.2, hi=0.1)
     with pytest.raises(ValueError):
         find_threshold(H, lambda p: lt.MinSumDecoder(H, p, 5), target_ler=0.0)
+
+
+def test_mixed_fer_sweep_reproducible_and_monotone():
+    """mixed_fer_sweep: counted streams reproduce exactly; failure rate
+    does not decrease with erasure rate; erasure-light points peel clean."""
+    from ldpcdecoders_tpu.harness import mixed_fer_sweep
+
+    H = lt.parity_check_matrix(240, 6, 3, rng=0)
+    rates = [0.02, 0.12]
+    a = mixed_fer_sweep(H, 0.005, rates, trials_per_point=96, batch=48,
+                        seed=3, osd_order=0)
+    b = mixed_fer_sweep(H, 0.005, rates, trials_per_point=96, batch=48,
+                        seed=3, osd_order=0)
+    for eps in rates:
+        assert a[eps]["exact_failure_rate"] == b[eps]["exact_failure_rate"]
+        assert a[eps]["trials"] == 96
+        # osd completion keeps every lane syndrome-consistent
+        assert a[eps]["syndrome_mismatch_rate"] == 0.0
+    assert a[0.12]["exact_failure_rate"] >= a[0.02]["exact_failure_rate"]
+    assert a[0.12]["mean_peel_rounds"] >= a[0.02]["mean_peel_rounds"]
