@@ -373,9 +373,16 @@ def css_logical_sweep(
     decoder: str = "bposd",
     batch: int = 256,
     seed: int = 0,
+    loss_rate: float = 0.0,
     **knobs,
 ) -> dict:
     """Degeneracy-aware logical-error-rate sweep of a CSS code pair.
+
+    With ``loss_rate > 0`` each shot additionally loses that fraction of
+    qubits (heralded erasure shared by both blocks: a lost qubit's X and
+    Z components are uniform), and the decoders receive the erasure mask
+    via ``CSSDecoder.batch_decode(..., erasures=)`` — prior 0.5 at lost
+    positions (requires a prior-capable decoder kind).
 
     The quantum analog of :class:`FERSweep`: at each physical error rate
     independent X and Z error batches are injected, both stabilizer
@@ -409,6 +416,14 @@ def css_logical_sweep(
     # programs every time); kinds without override support fall back
     shared = CSSDecoder(Hx, Hz, per=float(pers[0]), max_iters=max_iters,
                         decoder=decoder, **knobs)
+    if loss_rate > 0.0 and not (
+        shared.x_block.supports_per_override
+        and shared.x_block.supports_vector_prior
+    ):
+        raise ValueError(
+            f"loss_rate > 0 needs a prior-capable decoder kind; "
+            f"'{decoder}' cannot honor erasure priors"
+        )
     per_kw_ok = True
     for per in pers:
         dec = shared
@@ -424,14 +439,23 @@ def css_logical_sweep(
                     (seed, per_hash, step, 0xDEC0DE)
                 ).integers(1 << 31)
             )
-            z_true = sample_errors(rng, b, n, per)
-            x_true = sample_errors(rng, b, n, per)
+            if loss_rate > 0.0:
+                eps = rng.random((b, n)) < loss_rate
+                z_true = np.where(eps, rng.random((b, n)) < 0.5,
+                                  sample_errors(rng, b, n, per))
+                x_true = np.where(eps, rng.random((b, n)) < 0.5,
+                                  sample_errors(rng, b, n, per))
+                eps_kw = {"erasures": eps}
+            else:
+                z_true = sample_errors(rng, b, n, per)
+                x_true = sample_errors(rng, b, n, per)
+                eps_kw = {}
             syn_x = syndromes_of(Hx, z_true)
             syn_z = syndromes_of(Hz, x_true)
             try:
                 if per_kw_ok:
                     z_hat, x_hat, zc, xc = dec.batch_decode(
-                        syn_x, syn_z, seed=decode_seed, per=float(per)
+                        syn_x, syn_z, seed=decode_seed, per=float(per), **eps_kw
                     )
                 else:
                     raise ValueError  # route to the per-point decoder
@@ -442,7 +466,7 @@ def css_logical_sweep(
                                      max_iters=max_iters, decoder=decoder,
                                      **knobs)
                 z_hat, x_hat, zc, xc = dec.batch_decode(
-                    syn_x, syn_z, seed=decode_seed
+                    syn_x, syn_z, seed=decode_seed, **eps_kw
                 )
             zf, xf = dec.logical_failures(z_true, z_hat, x_true, x_hat)
             trials += b

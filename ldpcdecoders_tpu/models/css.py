@@ -95,7 +95,8 @@ class CSSDecoder:
                 "(bp, bposd, minsum, layered_minsum, bpots)"
             )
 
-    def batch_decode(self, syndromes_x, syndromes_z, *, seed: int = 0, per=None):
+    def batch_decode(self, syndromes_x, syndromes_z, *, seed: int = 0, per=None,
+                     erasures=None):
         """Decode both blocks.
 
         Args:
@@ -104,6 +105,12 @@ class CSSDecoder:
           per: optional channel-prior override forwarded to both block
             decoders (traced argument — one compiled program serves
             every noise point of a sweep).
+          erasures: optional ``[B, n]`` bool mask of *lost* qubits
+            (heralded loss — photonic / neutral-atom hardware).  A lost
+            qubit's X and Z error components are both unknown, so both
+            block decoders see prior 0.5 (LLR 0) at erased positions and
+            the Pauli prior elsewhere.  Requires a prior-capable decoder
+            kind; composes with ``per``.
 
         Returns ``(z_errors, x_errors, z_converged, x_converged)`` where
         ``z_errors [B, n]`` reproduce ``syndromes_x`` and ``x_errors``
@@ -117,6 +124,25 @@ class CSSDecoder:
                 f"{syndromes_x.shape[0]} != {syndromes_z.shape[0]}"
             )
         prior = per if per is not None else (self._per if self._vector_prior else None)
+        if erasures is not None:
+            erasures = np.asarray(erasures).astype(bool)
+            B = syndromes_x.shape[0]
+            if erasures.shape != (B, self.n):
+                raise ValueError(
+                    f"expected erasures of shape [B={B}, {self.n}], "
+                    f"got {erasures.shape}"
+                )
+            if not (self.x_block.supports_per_override
+                    and self.x_block.supports_vector_prior):
+                raise ValueError(
+                    f"decoder kind '{self._cfg.kind}' cannot honor erasure "
+                    "priors; use a prior-capable kind (bp, bposd, minsum, "
+                    "layered_minsum, bpots)"
+                )
+            base = prior if prior is not None else self._cfg.per
+            prior = np.where(erasures, 0.5,
+                             np.broadcast_to(np.asarray(base, np.float64),
+                                             (B, self.n)))
 
         def run(block, syn, s):
             if prior is not None:

@@ -162,3 +162,53 @@ def test_css_decoder_logical_failures():
     assert not (xf & ~x_mismatch).any()
     assert zf.sum() <= z_mismatch.sum()
     assert xf.sum() <= x_mismatch.sum()
+
+
+def test_css_heralded_loss_beats_blind_decoding():
+    """erasures=: lost qubits get prior 0.5 in both blocks; knowing the
+    loss locations must sharply beat blind decoding of the same shots."""
+    Hx, Hz = lt.toric_code_x(4), lt.toric_code_z(4)
+    dec = lt.CSSDecoder(Hx, Hz, per=0.01, max_iters=60)
+    rng = np.random.default_rng(7)
+    n, b = Hx.shape[1], 128
+    eps = rng.random((b, n)) < 0.15
+    z_true = np.where(eps, rng.random((b, n)) < 0.5, rng.random((b, n)) < 0.01)
+    x_true = np.where(eps, rng.random((b, n)) < 0.5, rng.random((b, n)) < 0.01)
+    syn_x = (z_true @ np.asarray(Hx).T) % 2
+    syn_z = (x_true @ np.asarray(Hz).T) % 2
+    zh, xh, _, _ = dec.batch_decode(syn_x, syn_z, erasures=eps)
+    zf, xf = dec.logical_failures(z_true, zh, x_true, xh)
+    aware = (zf | xf).mean()
+    zh2, xh2, _, _ = dec.batch_decode(syn_x, syn_z, per=0.08)
+    zf2, xf2 = dec.logical_failures(z_true, zh2, x_true, xh2)
+    blind = (zf2 | xf2).mean()
+    assert aware < blind / 3
+    assert aware < 0.15
+
+
+def test_css_erasures_validation():
+    Hx, Hz = lt.toric_code_x(3), lt.toric_code_z(3)
+    dec = lt.CSSDecoder(Hx, Hz, per=0.01, max_iters=10)
+    sx = np.zeros((4, Hx.shape[0]), np.int8)
+    sz = np.zeros((4, Hz.shape[0]), np.int8)
+    with pytest.raises(ValueError, match="erasures of shape"):
+        dec.batch_decode(sx, sz, erasures=np.zeros((4, 7), bool))
+    dec_bf = lt.CSSDecoder(Hx, Hz, per=0.01, max_iters=10, decoder="bitflip")
+    with pytest.raises(ValueError, match="erasure priors"):
+        dec_bf.batch_decode(sx, sz, erasures=np.zeros((4, Hx.shape[1]), bool))
+
+
+def test_css_logical_sweep_with_loss():
+    """loss_rate: reproducible, and erasure-aware decoding keeps the
+    logical rate far below the loss rate itself."""
+    from ldpcdecoders_tpu.harness import css_logical_sweep
+
+    Hx, Hz = lt.toric_code_x(3), lt.toric_code_z(3)
+    a = css_logical_sweep(Hx, Hz, [0.01], trials_per_point=96, batch=48,
+                          seed=5, loss_rate=0.10, max_iters=50)
+    b = css_logical_sweep(Hx, Hz, [0.01], trials_per_point=96, batch=48,
+                          seed=5, loss_rate=0.10, max_iters=50)
+    assert a[0.01]["any_logical_rate"] == b[0.01]["any_logical_rate"]
+    with pytest.raises(ValueError, match="prior-capable"):
+        css_logical_sweep(Hx, Hz, [0.01], trials_per_point=8,
+                          decoder="bitflip", loss_rate=0.1)
