@@ -79,13 +79,31 @@ def make_osd_fns(graph: TannerGraph, osd_order: int, *, use_pallas: bool = False
     """
     H_cols = jnp.asarray(graph.require_H().T.astype(np.uint32))  # [n, m] for column gather
     n, m = graph.n, graph.m
+    W = (n + 31) // 32
+    # zero row at index n: padded perm slots gather an all-zero column
+    H_cols_z = jnp.concatenate([H_cols, jnp.zeros((1, m), jnp.uint32)], axis=0)
+    _shifts = jnp.left_shift(
+        jnp.uint32(1), jnp.arange(32, dtype=jnp.uint32)
+    )[:, None]
 
     def sort_and_pack(syndrome, bp_err, logp):
         probs = jnp.exp(logp.astype(jnp.float32))
         reliability = jnp.maximum(probs, 1.0 - probs)
         perm = jnp.argsort(-reliability, stable=True)
-        Hs_cols = jnp.take(H_cols, perm, axis=0)  # [n, m] sorted columns
-        Hp = pack_bits(Hs_cols.T)  # pack rows of H_sorted -> [m, W]
+        # pack the reliability-sorted columns wordwise (scan over W words
+        # of 32 columns) instead of materializing the [n, m] permuted H
+        # per lane — the naive take+pack peaks at O(B*n*m) u32, which
+        # exhausts HBM for large codes (observed: n=2400, B=1024 -> 23 GB)
+        permp = jnp.concatenate(
+            [perm, jnp.full((W * 32 - n,), n, perm.dtype)]
+        ) if W * 32 != n else perm
+
+        def word(_, idx):
+            cols = jnp.take(H_cols_z, idx, axis=0)  # [32, m]
+            return None, jnp.sum(cols * _shifts, axis=0, dtype=jnp.uint32)
+
+        _, words = jax.lax.scan(word, None, permp.reshape(W, 32))  # [W, m]
+        Hp = words.T  # [m, W] packed rows of H[:, perm]
         bp_sorted = jnp.take(bp_err.astype(jnp.uint32), perm)
         return perm, Hp, bp_sorted
 
