@@ -88,8 +88,6 @@ class QCMinSumDecoder(Decoder):
     (0, True)
     """
 
-    supports_vector_prior = False  # the channel prior is one scalar LLR
-
     def __init__(
         self,
         base,
@@ -252,10 +250,17 @@ class QCMinSumDecoder(Decoder):
             ) > VMEM_BUDGET:
                 batch_tile //= 2
         self.batch_tile = int(batch_tile)
+        self._mb, self._nb = mb, nb
+        self._interpret = bool(interpret)
         if backend == "pallas":
             from ..ops.pallas_qc import make_group_qc_minsum_pallas_fn
 
-            self.supports_per_override = False  # the kernel bakes the prior
+            # the default kernel bakes the scalar prior (fastest); the
+            # first per= override lazily compiles a second kernel that
+            # takes per-bit LLRs as a VMEM input (erasures / punctured
+            # bits / sweeps), cached for the decoder's lifetime
+            self._prior_decode_fn = None
+            self._prior_tile = None
             self._decode_fn = make_group_qc_minsum_pallas_fn(
                 terms,
                 mb,
@@ -302,6 +307,35 @@ class QCMinSumDecoder(Decoder):
         else:
             raise ValueError(f"unknown backend {backend!r} (want 'pallas' or 'xla')")
 
+    def _ensure_prior_kernel(self):
+        """Lazily build (and cache) the per-bit-prior variant of the fused
+        kernel; its batch tile may be smaller (one extra VMEM input)."""
+        if self._prior_decode_fn is None:
+            from ..ops.pallas_qc import (
+                VMEM_BUDGET,
+                make_group_qc_minsum_pallas_fn,
+                qc_vmem_estimate,
+            )
+
+            tile = self.batch_tile
+            while tile > 1 and qc_vmem_estimate(
+                len(self.terms), self._mb, self._nb, self.Z, tile,
+                jnp.dtype(self.dtype).itemsize, self.schedule == "layered",
+                prior_input=True,
+            ) > VMEM_BUDGET:
+                tile //= 2
+            self._prior_tile = tile
+            self._prior_decode_fn = make_group_qc_minsum_pallas_fn(
+                self.terms, self._mb, self._nb, self.group,
+                0.0,  # unused in prior-input mode
+                self.max_iters,
+                alpha=self.alpha, beta=self.beta, batch_tile=tile,
+                schedule=self.schedule, algorithm=self.algorithm,
+                dtype=self.dtype, interpret=self._interpret,
+                prior_input=True,
+            )
+        return self._prior_decode_fn, self._prior_tile
+
     def _decode_batch(self, syndromes, seed: int = 0, per=None):
         syndromes = jnp.asarray(syndromes)
         if self.backend == "xla":
@@ -319,12 +353,29 @@ class QCMinSumDecoder(Decoder):
             key = "log_probabs" if self.algorithm == "sumproduct" else "llrs"
             return err, converged, iters, {key: soft}
         B = syndromes.shape[0]
-        pad = (-B) % self.batch_tile
+        if per is not None:
+            decode_fn, tile = self._ensure_prior_kernel()
+            L0 = np.broadcast_to(
+                np.asarray(per_to_llr(per, self.n), np.float32), (B, self.n)
+            )
+        else:
+            decode_fn, tile = self._decode_fn, self.batch_tile
+            L0 = None
+        pad = (-B) % tile
         if pad:
             syndromes = jnp.concatenate(
                 [syndromes, jnp.zeros((pad, self.m), syndromes.dtype)], axis=0
             )
-        err, converged, iters, llrs = self._decode_fn(syndromes)
+            if L0 is not None:
+                # pad lanes decode the zero syndrome; a solidly positive
+                # LLR keeps them trivially converged
+                L0 = np.concatenate(
+                    [L0, np.full((pad, self.n), 10.0, np.float32)], axis=0
+                )
+        if L0 is not None:
+            err, converged, iters, llrs = decode_fn(syndromes, jnp.asarray(L0))
+        else:
+            err, converged, iters, llrs = decode_fn(syndromes)
         if pad:
             err, converged, iters, llrs = (
                 err[:B],

@@ -64,11 +64,14 @@ VMEM_BUDGET = 14 * 2**20
 
 
 def qc_vmem_estimate(Eb: int, mb: int, nb: int, Z: int, batch_tile: int,
-                     itemsize: int, layered: bool) -> int:
+                     itemsize: int, layered: bool,
+                     prior_input: bool = False) -> int:
     """Approximate VMEM footprint (bytes) of the fused kernel: message
     scratch + double-buffered in/out blocks."""
     scratch = (Eb + (nb if layered else Eb)) * batch_tile * Z * itemsize
     io = 2 * (nb * 4 + nb * 4 + mb * 4) * batch_tile * Z  # err+llr+syn
+    if prior_input:
+        io += 2 * nb * 4 * batch_tile * Z  # per-bit channel LLR input
     return scratch + io
 
 
@@ -113,8 +116,16 @@ def make_group_qc_minsum_pallas_fn(
     algorithm: str = "minsum",
     dtype=jnp.float32,
     interpret: bool = False,
+    prior_input: bool = False,
 ):
     """Build ``syndromes [B, mb*Z] -> (err i8, converged bool, iters i32, llrs f32)``.
+
+    With ``prior_input=True`` the returned function takes a second
+    argument — per-bit channel LLRs ``[B, nb*Z]`` float32 (per-lane) —
+    instead of baking the scalar ``L0``: erased/punctured bits get
+    LLR 0, rate-matched or per-shot soft priors ride along per lane,
+    and one compiled kernel serves every noise point of a sweep.  Costs
+    one extra double-buffered VMEM input block per batch tile.
 
     ``algorithm='minsum'`` (default) is the normalized/offset min-sum
     check rule; ``'sumproduct'`` is exact LLR-domain belief propagation
@@ -178,7 +189,8 @@ def make_group_qc_minsum_pallas_fn(
     # (6,3)-regular nb=24 code compiles at Z=384 f32 BT=32 (~10.6 MiB by
     # this estimate) and fails at Z=768 (~21 MiB), so refuse past ~14 MiB
     # with actionable guidance instead of an opaque remote-compile error.
-    est = qc_vmem_estimate(Eb, mb, nb, Z, BT, f32.itemsize, layered)
+    est = qc_vmem_estimate(Eb, mb, nb, Z, BT, f32.itemsize, layered,
+                           prior_input=prior_input)
     if est > VMEM_BUDGET and not interpret:
         raise ValueError(
             f"estimated VMEM footprint {est / 2**20:.1f} MiB exceeds the ~14 MiB "
@@ -187,7 +199,18 @@ def make_group_qc_minsum_pallas_fn(
             "backend='xla' (HBM-resident) for codes this large"
         )
 
-    def kernel(syn_ref, err_ref, llr_ref, conv_ref, iters_ref, s1_ref, s2_ref):
+    def kernel(syn_ref, *refs):
+        if prior_input:
+            p_ref, err_ref, llr_ref, conv_ref, iters_ref, s1_ref, s2_ref = refs
+
+            def p32(j):
+                return p_ref[j]  # [BT, Z] float32 per-bit channel LLR
+        else:
+            err_ref, llr_ref, conv_ref, iters_ref, s1_ref, s2_ref = refs
+            _const_p32 = jnp.full((BT, Z), L0, jnp.float32)
+
+            def p32(j):
+                return _const_p32
         # scratch aliases: flooding carries per-edge nu and mu; layered
         # carries per-edge mu plus per-block-column LLR totals
         if layered:
@@ -286,20 +309,20 @@ def make_group_qc_minsum_pallas_fn(
         check_mu = sumproduct_mu if sumprod else two_min_mu
 
         # init: outputs = iteration-0 state; flooding seeds nu with the
-        # channel prior (var-oriented == check-oriented for a constant),
-        # layered seeds zero messages and prior totals
-        prior = jnp.full((BT, Z), L0, f32)  # stored narrow; compute upcasts
+        # channel prior (var-oriented: a lane's prior needs no shift —
+        # every check-side read applies the edge shift itself), layered
+        # seeds zero messages and prior totals
         if layered:
             for e in range(Eb):
                 mu_ref[e] = jnp.zeros((BT, Z), f32)
             for j in range(nb):
-                tot_ref[j] = prior
+                tot_ref[j] = p32(j).astype(f32)
         else:
             for e in range(Eb):
-                nu_ref[e] = prior
+                nu_ref[e] = p32(edges[e][1]).astype(f32)
         for j in range(nb):
             err_ref[j] = jnp.zeros((BT, Z), jnp.int32)
-            llr_ref[j] = jnp.full((BT, Z), L0, jnp.float32)
+            llr_ref[j] = p32(j)
 
         syn_b = [syn_ref[i] != 0 for i in range(mb)]
 
@@ -325,7 +348,7 @@ def make_group_qc_minsum_pallas_fn(
             # -- variable update + frozen outputs --------------------------
             for j in range(nb):
                 col = col_edges[j]
-                total = jnp.full((BT, Z), L0, jnp.float32)
+                total = p32(j)
                 mus = [mu_ref[e].astype(jnp.float32) for e in col]
                 for mu in mus:
                     total = total + mu
@@ -392,7 +415,7 @@ def make_group_qc_minsum_pallas_fn(
     grid = lambda B: (B // BT,)  # noqa: E731
 
     @functools.partial(jax.jit, static_argnames=())
-    def decode(syndromes):
+    def decode(syndromes, priors=None):
         syndromes = jnp.asarray(syndromes)
         B = syndromes.shape[0]
         if B % BT:
@@ -400,12 +423,28 @@ def make_group_qc_minsum_pallas_fn(
         # [B, mb*Z] -> [mb, B, Z]: block index outermost so each kernel
         # slice syn_ref[i] is one contiguous [BT, Z] tile
         syn = syndromes.reshape(B, mb, Z).transpose(1, 0, 2).astype(jnp.int32)
+        in_specs = [
+            pl.BlockSpec((mb, BT, Z), lambda b: (0, b, 0), memory_space=pltpu.VMEM),
+        ]
+        inputs = [syn]
+        if prior_input:
+            if priors is None:
+                raise ValueError("prior_input kernel needs per-bit LLRs")
+            priors = jnp.broadcast_to(
+                jnp.asarray(priors, jnp.float32), (B, nb * Z)
+            )
+            inputs.append(priors.reshape(B, nb, Z).transpose(1, 0, 2))
+            in_specs.append(
+                pl.BlockSpec((nb, BT, Z), lambda b: (0, b, 0),
+                             memory_space=pltpu.VMEM)
+            )
+        elif priors is not None:
+            raise ValueError("this kernel bakes the scalar prior; rebuild "
+                             "with prior_input=True for per-bit LLRs")
         err_t, llr_t, conv, iters = pl.pallas_call(
             kernel,
             grid=grid(B),
-            in_specs=[
-                pl.BlockSpec((mb, BT, Z), lambda b: (0, b, 0), memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=(
                 pl.BlockSpec((nb, BT, Z), lambda b: (0, b, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((nb, BT, Z), lambda b: (0, b, 0), memory_space=pltpu.VMEM),
@@ -423,7 +462,7 @@ def make_group_qc_minsum_pallas_fn(
                 pltpu.VMEM((nb if layered else Eb, BT, Z), f32),
             ],
             interpret=interpret,
-        )(syn)
+        )(*inputs)
         err = err_t.transpose(1, 0, 2).reshape(B, nb * Z).astype(jnp.int8)
         llrs = llr_t.transpose(1, 0, 2).reshape(B, nb * Z)
         return err, conv[:, 0].astype(bool), iters[:, 0], llrs

@@ -133,9 +133,35 @@ def test_qc_decoder_validation(small_qc):
     dec = lt.QCMinSumDecoder(
         base, Z, 0.05, 5, backend="pallas", interpret=True, batch_tile=4
     )
-    assert dec.supports_per_override is False
-    with pytest.raises(ValueError, match="prior override"):
-        dec.batch_decode(np.zeros((4, dec.m), np.int8), per=0.01)
+    assert dec.supports_per_override and dec.supports_vector_prior
+    with pytest.raises(ValueError, match="per must be"):
+        dec.batch_decode(np.zeros((4, dec.m), np.int8),
+                         per=np.full(dec.n + 1, 0.1))
+
+
+def test_qc_pallas_per_override_matches_xla(small_qc):
+    """The lazily-built prior-input kernel: scalar and per-lane overrides
+    match the XLA backend bitwise (interpreter mode), baked path intact."""
+    base, Z, H = small_qc
+    per = 0.05
+    dp = lt.QCMinSumDecoder(base, Z, per, 25, backend="pallas",
+                            interpret=True, batch_tile=4)
+    dx = lt.QCMinSumDecoder(base, Z, per, 25, backend="xla")
+    rng = np.random.default_rng(2)
+    n = dp.n
+    B = 6  # not a multiple of batch_tile: exercises prior-padded lanes
+    eps = rng.random((B, n)) < 0.08
+    e = np.where(eps, rng.random((B, n)) < 0.5, rng.random((B, n)) < per)
+    syn = ((e @ H.T) % 2).astype(np.int8)
+    prior = np.where(eps, 0.5, per)
+    for p in (prior, 0.03, np.full(n, 0.02)):
+        ep, cp = dp.batch_decode(syn, per=p)
+        ex, cx = dx.batch_decode(syn, per=p)
+        assert np.array_equal(ep, ex)
+        assert np.array_equal(cp, cx)
+    ep0, _ = dp.batch_decode(syn)
+    ex0, _ = dx.batch_decode(syn)
+    assert np.array_equal(ep0, ex0)
 
 
 def test_config_builds_qc_decoder(small_qc):
