@@ -609,3 +609,20 @@ def test_qc_sumproduct_xla_vector_prior(small_qc):
     assert conv.mean() > 0.9
     s2 = (out.astype(np.int64) @ H.T) % 2
     assert (s2[conv] == syn[conv]).all()
+
+
+def test_qc_pallas_decode_soft_punctured(small_qc):
+    """decode_soft on the fused kernel: punctured bits (LLR 0) recover
+    from parity structure alone (the 5G rate-matching pattern)."""
+    base, Z, H = small_qc
+    dec = lt.QCMinSumDecoder(base, Z, 0.02, 40, backend="pallas",
+                             interpret=True, batch_tile=4)
+    n = dec.n
+    rng = np.random.default_rng(3)
+    B = 8
+    sigma = 10 ** (-4.0 / 20)
+    llr = 2.0 * (1.0 + sigma * rng.standard_normal((B, n))) / sigma**2
+    llr[:, :Z] = 0.0  # puncture one block column
+    cw, ok = lt.decode_soft(dec, llr)
+    assert ok.all()
+    assert cw.sum() == 0  # all-zero codeword, punctured bits included
