@@ -110,6 +110,12 @@ def main(argv=None):
 
     sp = sub.add_parser("sweep", parents=[common], help="FER sweep with checkpoint/resume")
     sp.add_argument("--pers", required=True, help="comma-separated physical error rates")
+    sp.add_argument(
+        "--erasure-rates", default=None,
+        help="comma-separated erasure rates: runs the mixed erasure+flip "
+        "sweep (MixedChannelDecoder with OSD completion at --osd-order; "
+        "--pers must then be the single flip rate)",
+    )
     sp.add_argument("--trials", type=int, default=10000)
     sp.add_argument("--checkpoint", default=None)
     sp.add_argument("--seed", type=int, default=0)
@@ -142,7 +148,23 @@ def main(argv=None):
     factory = _decoder_factory(a.decoder, H, a.max_iters, a.osd_order, a.T, a.C, a.fused, a.osd_scope, qc=qc, schedule=a.schedule)
 
     with trace(a.profile):
-        if a.cmd == "sweep":
+        if a.cmd == "sweep" and a.erasure_rates:
+            from ldpcdecoders_tpu.harness import mixed_fer_sweep
+
+            pers = [float(x) for x in a.pers.split(",")]
+            if len(pers) != 1:
+                raise SystemExit(
+                    "--erasure-rates sweeps the erasure axis; give exactly "
+                    "one --pers value (the fixed flip rate)"
+                )
+            rates = [float(x) for x in a.erasure_rates.split(",")]
+            out = mixed_fer_sweep(
+                H, pers[0], rates, trials_per_point=a.trials,
+                batch=a.batch, seed=a.seed, osd_order=a.osd_order,
+                max_iters=a.max_iters,
+            )
+            print(json.dumps({str(k): v for k, v in out.items()}, indent=2))
+        elif a.cmd == "sweep":
             pers = [float(x) for x in a.pers.split(",")]
             sweep = FERSweep(
                 H,

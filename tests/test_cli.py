@@ -73,3 +73,32 @@ def test_cli_rejects_unknown_decoder():
 def test_cli_rejects_unknown_code():
     with pytest.raises(SystemExit):
         main(["bench", "--code", "mystery:3"])
+
+
+def test_cli_mixed_sweep(capsys):
+    from ldpcdecoders_tpu.cli import main
+
+    rc = main([
+        "sweep", "--code", "gallager:120,6,3", "--decoder", "minsum",
+        "--pers", "0.005", "--erasure-rates", "0.02,0.1",
+        "--trials", "64", "--batch", "32", "--max-iters", "30",
+    ])
+    assert rc == 0
+    import json
+
+    out = json.loads(capsys.readouterr().out)
+    assert set(out) == {"0.02", "0.1"}
+    assert out["0.1"]["trials"] == 64
+    assert out["0.1"]["syndrome_mismatch_rate"] == 0.0  # OSD completion
+
+
+def test_cli_mixed_sweep_single_flip_rate_enforced():
+    import pytest as _p
+    from ldpcdecoders_tpu.cli import main
+
+    with _p.raises(SystemExit, match="one --pers"):
+        main([
+            "sweep", "--code", "gallager:120,6,3",
+            "--pers", "0.005,0.01", "--erasure-rates", "0.1",
+            "--trials", "8",
+        ])
