@@ -157,6 +157,19 @@ def main(argv=None):
                     "--erasure-rates sweeps the erasure axis; give exactly "
                     "one --pers value (the fixed flip rate)"
                 )
+            # fail loudly on flags this path cannot honor rather than
+            # silently dropping them (mixed_fer_sweep has no checkpoint
+            # or time budget, and the decoder is MixedChannelDecoder)
+            if a.checkpoint or a.max_seconds is not None:
+                raise SystemExit(
+                    "--checkpoint/--max-seconds are not supported with "
+                    "--erasure-rates (mixed sweeps run to completion)"
+                )
+            if a.decoder != "bposd":  # the parser default
+                raise SystemExit(
+                    "--erasure-rates always decodes with MixedChannelDecoder"
+                    " (min-sum + OSD completion); drop --decoder"
+                )
             rates = [float(x) for x in a.erasure_rates.split(",")]
             out = mixed_fer_sweep(
                 H, pers[0], rates, trials_per_point=a.trials,

@@ -23,7 +23,8 @@ from .utils.io import atomic_write_json, read_json
 from .utils.metrics import wilson_interval
 from .utils.noise import sample_errors, sample_mixed_channel, syndromes_of
 
-__all__ = ["FERSweep", "SweepPoint", "find_threshold", "css_logical_sweep"]
+__all__ = ["FERSweep", "SweepPoint", "find_threshold", "css_logical_sweep",
+           "mixed_fer_sweep"]
 
 
 @dataclasses.dataclass

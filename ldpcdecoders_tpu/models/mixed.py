@@ -142,7 +142,7 @@ def make_mixed_decode_fn(
             err, ok, it = run_bp()
             return err, ok, jnp.zeros(B, jnp.int32), it
 
-        err_p, eps_left, s_res, rounds = peel(syndromes, erasures)
+        err_p, eps_left, s_res, depth = peel(syndromes, erasures)
         # a lane is done iff peeling consumed its whole erasure AND the
         # residual syndrome closed — any real flip leaves s_res != 0
         ok_p = (~jnp.any(eps_left, axis=1)) & jnp.all(s_res == 0, axis=1)
@@ -158,7 +158,7 @@ def make_mixed_decode_fn(
         )
         err = jnp.where(ok_p[:, None], err_p.astype(jnp.int8), err_b)
         ok = ok_p | ok_b
-        return err, ok, jnp.broadcast_to(rounds, (B,)), bp_iters
+        return err, ok, depth, bp_iters
 
     return decode
 

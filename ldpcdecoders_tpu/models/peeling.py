@@ -48,9 +48,11 @@ def make_peel_fn(graph: TannerGraph, max_rounds: int | None = None):
 
     Returns ``peel(syndromes [B, m] int-like, erasures [B, n] bool) ->
     (err [B, n] int32, eps_left [B, n] bool, s_res [B, m] int32,
-    rounds int32)`` — the fixed-point of simultaneous degree-1-check
-    resolution.  Shared by the pure erasure decoder below and the
-    mixed-channel decoder (models/mixed.py).
+    depth [B] int32)`` — the fixed-point of simultaneous degree-1-check
+    resolution.  ``depth`` is per-lane: the last round in which the lane
+    resolved a bit (its peeling-forest depth; 0 for an empty erasure,
+    the stall round for a stopping set).  Shared by the pure erasure
+    decoder below and the mixed-channel decoder (models/mixed.py).
     """
     m, n = graph.m, graph.n
     cv = jnp.asarray(graph.chk_vars)  # [m, dc]
@@ -65,11 +67,11 @@ def make_peel_fn(graph: TannerGraph, max_rounds: int | None = None):
         bidx = jnp.arange(B)[:, None]
 
         def cond(st):
-            _, eps, _, progressed, rounds = st
+            _, eps, _, progressed, rounds, _ = st
             return progressed & (rounds < max_rounds)
 
         def body(st):
-            err, eps, s, _, rounds = st
+            err, eps, s, _, rounds, depth = st
             eg = eps[bidx[..., None], cv[None]] & cm[None]  # [B, m, dc]
             degc = jnp.sum(eg, axis=-1)
             det = degc == 1  # checks that determine their one erased bit
@@ -92,12 +94,17 @@ def make_peel_fn(graph: TannerGraph, max_rounds: int | None = None):
                 s ^ syndrome_from(delta).astype(jnp.int32),
                 s,
             )
-            progressed = jnp.any(newly, axis=1).any()
-            return err, eps & ~newly, s_new, progressed, rounds + 1
+            lane_prog = jnp.any(newly, axis=1)
+            depth = jnp.where(lane_prog, rounds + 1, depth)
+            progressed = lane_prog.any()
+            return err, eps & ~newly, s_new, progressed, rounds + 1, depth
 
-        st0 = (jnp.zeros((B, n), jnp.int32), eps, s, jnp.bool_(True), jnp.int32(0))
-        err, eps_left, s_res, _, rounds = jax.lax.while_loop(cond, body, st0)
-        return err, eps_left, s_res, rounds
+        st0 = (
+            jnp.zeros((B, n), jnp.int32), eps, s, jnp.bool_(True),
+            jnp.int32(0), jnp.zeros((B,), jnp.int32),
+        )
+        err, eps_left, s_res, _, _, depth = jax.lax.while_loop(cond, body, st0)
+        return err, eps_left, s_res, depth
 
     return peel
 
@@ -106,8 +113,9 @@ def make_peeling_decode_fn(graph: TannerGraph, *, on_stuck: str = "gf2",
                            max_rounds: int | None = None):
     """Build ``(syndromes [B, m], erasures [B, n]) -> (err i8, ok, rounds)``.
 
-    ``rounds`` is the number of parallel peeling rounds a lane needed
-    (the depth of its peeling forest), not counting the GF(2) completion.
+    ``rounds`` is per-lane: the number of parallel peeling rounds that
+    lane needed (the depth of its peeling forest — its last productive
+    round), not counting the GF(2) completion.
     """
     if on_stuck not in ("gf2", "fail"):
         raise ValueError(f"on_stuck must be 'gf2' or 'fail', got {on_stuck!r}")
@@ -147,7 +155,7 @@ def make_peeling_decode_fn(graph: TannerGraph, *, on_stuck: str = "gf2",
     def decode(syndromes, erasures):
         syndromes = jnp.asarray(syndromes)
         erasures = jnp.asarray(erasures).astype(bool)
-        err, eps_left, s_res, rounds = peel(syndromes, erasures)
+        err, eps_left, s_res, depth = peel(syndromes, erasures)
         stuck = jnp.any(eps_left, axis=1)
         if on_stuck == "gf2":
             # cond-gated like the fused BP+OSD path: batches that peel
@@ -167,7 +175,7 @@ def make_peeling_decode_fn(graph: TannerGraph, *, on_stuck: str = "gf2",
         # safety net: declared-ok lanes must reproduce their syndromes
         synhat = syndrome_from(err.astype(jnp.float32)).astype(syndromes.dtype)
         ok = ok & jnp.all(synhat == syndromes, axis=1)
-        return err.astype(jnp.int8), ok, jnp.broadcast_to(rounds, ok.shape)
+        return err.astype(jnp.int8), ok, depth
 
     return decode
 

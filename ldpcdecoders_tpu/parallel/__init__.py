@@ -3,6 +3,7 @@ from .multihost import initialize_multihost, global_mesh, allreduce_counts
 from .spmd import (
     sharded_batch_decode,
     decode_with_stats,
+    sharded_mixed_decode,
     make_check_sharded_minsum_fn,
     make_check_sharded_sumproduct_fn,
     make_qc_sharded_decode_fn,
@@ -14,6 +15,7 @@ __all__ = [
     "shard_batch",
     "sharded_batch_decode",
     "decode_with_stats",
+    "sharded_mixed_decode",
     "make_check_sharded_minsum_fn",
     "make_check_sharded_sumproduct_fn",
     "make_qc_sharded_decode_fn",

@@ -95,6 +95,40 @@ def decode_with_stats(decoder, syndromes, mesh: Mesh, *, data_axis: str = "data"
     return np.asarray(errors), np.asarray(converged), stats
 
 
+def sharded_mixed_decode(decoder, syndromes, erasures, mesh: Mesh, *,
+                         data_axis: str = "data", per=None):
+    """Data-parallel mixed-channel decode: shard the batch axis.
+
+    The :class:`~ldpcdecoders_tpu.models.mixed.MixedChannelDecoder`
+    takes an erasure mask (and a per-lane prior) alongside the
+    syndromes; all three shard over the same leading batch axis and
+    GSPMD partitions the single peel -> cond-gated-BP program (the only
+    collective is the early-stop / cond all-reduce).  Returns host
+    numpy ``(errors, ok)`` like ``MixedChannelDecoder.batch_decode``.
+    """
+    from ..cache import ensure_default_cache
+
+    ensure_default_cache()
+    syndromes = np.asarray(syndromes)
+    erasures = np.asarray(erasures).astype(bool)
+    B = syndromes.shape[0]
+    if erasures.shape != (B, decoder.n):
+        raise ValueError(
+            f"expected erasures of shape [B={B}, {decoder.n}], got {erasures.shape}"
+        )
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names if a == data_axis]))
+    if B % n_dev != 0:
+        raise ValueError(f"batch {B} must divide the '{data_axis}' mesh size {n_dev}")
+    prior = decoder._native_prior(erasures, per)
+    sh = batch_sharding(mesh, 2, data_axis)
+    err, ok, _, _ = decoder._decode_fn(
+        jax.device_put(jnp.asarray(syndromes), sh),
+        jax.device_put(jnp.asarray(erasures), sh),
+        jax.device_put(jnp.asarray(prior), sh),
+    )
+    return np.asarray(err), np.asarray(ok)
+
+
 def _round_up(x, m):
     return ((x + m - 1) // m) * m
 

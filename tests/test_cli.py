@@ -79,7 +79,7 @@ def test_cli_mixed_sweep(capsys):
     from ldpcdecoders_tpu.cli import main
 
     rc = main([
-        "sweep", "--code", "gallager:120,6,3", "--decoder", "minsum",
+        "sweep", "--code", "gallager:120,6,3",
         "--pers", "0.005", "--erasure-rates", "0.02,0.1",
         "--trials", "64", "--batch", "32", "--max-iters", "30",
     ])
@@ -101,4 +101,17 @@ def test_cli_mixed_sweep_single_flip_rate_enforced():
             "sweep", "--code", "gallager:120,6,3",
             "--pers", "0.005,0.01", "--erasure-rates", "0.1",
             "--trials", "8",
+        ])
+    # flags the mixed path cannot honor are rejected, not dropped
+    with _p.raises(SystemExit, match="not supported"):
+        main([
+            "sweep", "--code", "gallager:120,6,3", "--pers", "0.005",
+            "--erasure-rates", "0.1", "--trials", "8",
+            "--checkpoint", "/tmp/x.json",
+        ])
+    with _p.raises(SystemExit, match="MixedChannelDecoder"):
+        main([
+            "sweep", "--code", "gallager:120,6,3", "--pers", "0.005",
+            "--erasure-rates", "0.1", "--trials", "8",
+            "--decoder", "minsum",
         ])

@@ -188,3 +188,24 @@ def test_qc_sharded_pallas_decode_matches_unsharded():
     np.testing.assert_allclose(np.asarray(ls), np.asarray(auxu["llrs"]))
     with pytest.raises(ValueError, match="multiple of"):
         fn(syn[:10])
+
+
+def test_sharded_mixed_decode():
+    """Mixed-channel decode sharded over the batch axis: results match
+    the unsharded decoder exactly."""
+    from ldpcdecoders_tpu.parallel import sharded_mixed_decode
+
+    mesh8 = make_mesh(8)
+    H = lt.parity_check_matrix(120, 6, 3, rng=0)
+    dec = lt.MixedChannelDecoder(H, 0.01, 30, osd_order=0)
+    rng = np.random.default_rng(3)
+    B, n = 32, 120
+    eps = rng.random((B, n)) < 0.08
+    e = np.where(eps, rng.random((B, n)) < 0.5, rng.random((B, n)) < 0.01)
+    syn = ((e @ H.T) % 2).astype(np.int8)
+    err_s, ok_s = sharded_mixed_decode(dec, syn, eps, mesh8)
+    err_u, ok_u = dec.batch_decode(syn, eps)
+    assert np.array_equal(err_s, err_u)
+    assert np.array_equal(ok_s, ok_u)
+    with pytest.raises(ValueError, match="erasures of shape"):
+        sharded_mixed_decode(dec, syn, eps[:, :5], mesh8)

@@ -110,3 +110,24 @@ def test_thresholds_bracket_theory():
     assert ml_mid > 0.3  # ML still partially succeeds near its 0.4882
     _, ml_hi = run(0.54)
     assert ml_hi < 0.2  # past the ML threshold
+
+
+def test_peel_depth_is_per_lane():
+    """A lane with no erasures reports depth 0 even when another lane in
+    the batch needs several rounds (depths are per-lane, not batch-max)."""
+    import jax.numpy as jnp
+
+    from ldpcdecoders_tpu.models.peeling import make_peel_fn
+    from ldpcdecoders_tpu.codes.graph import TannerGraph
+
+    H = lt.repetition_code(8)  # chain: peeling resolves ends-inward
+    g = TannerGraph.from_pcm(H)
+    peel = make_peel_fn(g)
+    n = H.shape[1]
+    eps = np.zeros((2, n), bool)
+    eps[1, 2:6] = True  # a 4-bit interior run: needs 2 rounds
+    e = np.zeros((2, n), np.int8)
+    syn = ((e @ H.T) % 2).astype(np.int8)
+    _, left, _, depth = peel(jnp.asarray(syn), jnp.asarray(eps))
+    assert not np.asarray(left).any()
+    assert np.asarray(depth).tolist() == [0, 2]
