@@ -158,13 +158,7 @@ def main(argv=None):
                     "one --pers value (the fixed flip rate)"
                 )
             # fail loudly on flags this path cannot honor rather than
-            # silently dropping them (mixed_fer_sweep has no checkpoint
-            # or time budget, and the decoder is MixedChannelDecoder)
-            if a.checkpoint or a.max_seconds is not None:
-                raise SystemExit(
-                    "--checkpoint/--max-seconds are not supported with "
-                    "--erasure-rates (mixed sweeps run to completion)"
-                )
+            # silently dropping them (the decoder is MixedChannelDecoder)
             if a.decoder != "bposd":  # the parser default
                 raise SystemExit(
                     "--erasure-rates always decodes with MixedChannelDecoder"
@@ -174,7 +168,8 @@ def main(argv=None):
             out = mixed_fer_sweep(
                 H, pers[0], rates, trials_per_point=a.trials,
                 batch=a.batch, seed=a.seed, osd_order=a.osd_order,
-                max_iters=a.max_iters,
+                max_iters=a.max_iters, checkpoint_path=a.checkpoint,
+                max_seconds=a.max_seconds,
             )
             print(json.dumps({str(k): v for k, v in out.items()}, indent=2))
         elif a.cmd == "sweep":

@@ -509,6 +509,8 @@ def mixed_fer_sweep(
     algorithm: str = "minsum",
     strategy: str = "peel+bp",
     osd_order: int | None = None,
+    checkpoint_path: str | None = None,
+    max_seconds: float | None = None,
     **knobs,
 ) -> dict:
     """FER sweep over erasure rates on the mixed erasure + bit-flip channel.
@@ -527,6 +529,12 @@ def mixed_fer_sweep(
     "mean_peel_rounds", "throughput_decodes_per_s"}}`` —
     ``bp_engaged_steps`` counts decode calls whose cond-gated BP stage
     actually ran (0 for erasure-dominated points that peel clean).
+
+    ``checkpoint_path`` / ``max_seconds`` give FERSweep's crash-safety
+    and time budget: counters are saved after every batch, a re-run
+    resumes on the exact counted streams (same results as an
+    uninterrupted run), and the sweep stops cleanly when the budget is
+    spent (returning whatever accumulated).
     """
     from .models.mixed import MixedChannelDecoder
 
@@ -535,45 +543,77 @@ def mixed_fer_sweep(
         osd_order=osd_order, **knobs,
     )
     n = dec.n
+    _CNT = ("trials", "exact_fail", "smismatch", "not_ok", "bp_steps",
+            "rounds_sum", "wall_seconds")
+    state = {float(e): dict.fromkeys(_CNT + ("step",), 0) for e in erasure_rates}
+    for st in state.values():
+        st["wall_seconds"] = 0.0
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        data = read_json(checkpoint_path)
+        if (data.get("seed"), data.get("batch"), data.get("p_flip")) != (
+            seed, batch, float(p_flip)
+        ):
+            raise ValueError(
+                "checkpoint was written with a different seed/batch/p_flip config"
+            )
+        for k, rec in data["points"].items():
+            if float(k) in state:
+                state[float(k)].update(rec)
+
+    def save():
+        if checkpoint_path:
+            atomic_write_json(checkpoint_path, {
+                "seed": seed, "batch": batch, "p_flip": float(p_flip),
+                "points": {str(k): v for k, v in state.items()},
+            })
+
+    t_start = time.perf_counter()
     out = {}
-    for eps in erasure_rates:
-        eps = float(eps)
+    for eps in (float(e) for e in erasure_rates):
+        st = state[eps]
         eps_hash = int(eps * 1e9) & 0x7FFFFFFF
-        trials = exact_fail = smismatch = not_ok = bp_steps = 0
-        rounds_sum = 0
-        step = 0
-        t0 = time.perf_counter()
-        while trials < trials_per_point:
-            b = min(batch, trials_per_point - trials)
-            rng = np.random.default_rng((seed, eps_hash, step))
+        while st["trials"] < trials_per_point:
+            if max_seconds is not None and (
+                time.perf_counter() - t_start
+            ) >= max_seconds:
+                break
+            b = min(batch, trials_per_point - st["trials"])
+            rng = np.random.default_rng((seed, eps_hash, st["step"]))
             erasures, errs = sample_mixed_channel(rng, b, n, p_flip, eps)
             syns = syndromes_of(H, errs)
+            t0 = time.perf_counter()
             guesses, ok, peel_rounds, bp_iters = dec.batch_decode_detailed(
                 syns, erasures
             )
+            st["wall_seconds"] += time.perf_counter() - t0
             exact = (guesses.astype(bool) == errs).all(axis=1)
             synhat = syndromes_of(H, guesses)
             smatch = (synhat == syns).all(axis=1)
-            trials += b
-            step += 1
-            exact_fail += int(b - exact.sum())
-            smismatch += int(b - smatch.sum())
-            not_ok += int(b - ok.sum())
-            bp_steps += int(bp_iters > 0)
-            rounds_sum += int(peel_rounds.sum())
-        dt = time.perf_counter() - t0
-        lo, hi = wilson_interval(exact_fail, trials)
+            st["trials"] += b
+            st["step"] += 1
+            st["exact_fail"] += int(b - exact.sum())
+            st["smismatch"] += int(b - smatch.sum())
+            st["not_ok"] += int(b - ok.sum())
+            st["bp_steps"] += int(bp_iters > 0)
+            st["rounds_sum"] += int(peel_rounds.sum())
+            save()
+        trials = st["trials"]
+        if not trials:
+            continue
+        lo, hi = wilson_interval(st["exact_fail"], trials)
         out[eps] = {
             "erasure_rate": eps,
             "p_flip": float(p_flip),
             "trials": trials,
-            "exact_failure_rate": exact_fail / trials,
+            "exact_failure_rate": st["exact_fail"] / trials,
             "exact_failure_ci95": [lo, hi],
-            "syndrome_mismatch_rate": smismatch / trials,
-            "ok_rate": 1.0 - not_ok / trials,
-            "bp_engaged_steps": bp_steps,
-            "steps": step,
-            "mean_peel_rounds": rounds_sum / trials,
-            "throughput_decodes_per_s": trials / dt if dt else 0.0,
+            "syndrome_mismatch_rate": st["smismatch"] / trials,
+            "ok_rate": 1.0 - st["not_ok"] / trials,
+            "bp_engaged_steps": st["bp_steps"],
+            "steps": st["step"],
+            "mean_peel_rounds": st["rounds_sum"] / trials,
+            "throughput_decodes_per_s": (
+                trials / st["wall_seconds"] if st["wall_seconds"] else 0.0
+            ),
         }
     return out

@@ -57,6 +57,11 @@ def make_peel_fn(graph: TannerGraph, max_rounds: int | None = None):
     m, n = graph.m, graph.n
     cv = jnp.asarray(graph.chk_vars)  # [m, dc]
     cm = jnp.asarray(graph.chk_mask)
+    vc = jnp.asarray(graph.var_chks)  # [n, dv]
+    vm = jnp.asarray(graph.var_mask)
+    dc, dv = cv.shape[1], vc.shape[1]
+    cv_flat = cv.reshape(-1)
+    vc_flat = vc.reshape(-1)
     syndrome_from = make_syndrome_fn(graph)
     max_rounds = int(max_rounds) if max_rounds is not None else n
 
@@ -64,7 +69,17 @@ def make_peel_fn(graph: TannerGraph, max_rounds: int | None = None):
         B = syndromes.shape[0]
         s = syndromes.astype(jnp.int32)
         eps = erasures.astype(bool)
-        bidx = jnp.arange(B)[:, None]
+
+        # all cross-layout moves are shared-index jnp.take gathers along
+        # axis 1 (the decoders' proven fast form — XLA lowers the
+        # batch-dim advanced-indexing form ~13x slower on TPU) and the
+        # resolution runs var-side by gather: a scatter with duplicate
+        # indices serializes on TPU
+        def gather_c(x):  # [B, n] -> [B, m, dc] per-check neighbor values
+            return jnp.take(x, cv_flat, axis=1).reshape(B, m, dc)
+
+        def gather_v(x):  # [B, m] -> [B, n, dv] per-variable check values
+            return jnp.take(x, vc_flat, axis=1).reshape(B, n, dv)
 
         def cond(st):
             _, eps, _, progressed, rounds, _ = st
@@ -72,20 +87,16 @@ def make_peel_fn(graph: TannerGraph, max_rounds: int | None = None):
 
         def body(st):
             err, eps, s, _, rounds, depth = st
-            eg = eps[bidx[..., None], cv[None]] & cm[None]  # [B, m, dc]
-            degc = jnp.sum(eg, axis=-1)
-            det = degc == 1  # checks that determine their one erased bit
-            slot = jnp.argmax(eg, axis=-1)  # [B, m]
-            var = jnp.take_along_axis(
-                jnp.broadcast_to(cv[None], (B, m, cv.shape[1])),
-                slot[..., None], axis=-1,
-            )[..., 0]  # [B, m]
-            var_sc = jnp.where(det, var, n)  # inactive checks scatter to pad
-            newly = jnp.zeros((B, n + 1), bool).at[bidx, var_sc].max(det)[:, :n]
-            val = jnp.zeros((B, n + 1), jnp.int32).at[bidx, var_sc].max(
-                s * det
-            )[:, :n]
-            newly = newly & eps
+            eg = gather_c(eps) & cm[None]  # [B, m, dc]
+            det = jnp.sum(eg, axis=-1) == 1  # checks with one erased neighbor
+            # a det check adjacent to an erased j has j as its unique
+            # erased neighbor, so j is newly fixed iff any adjacent check
+            # is det; its value is that check's syndrome (simultaneous
+            # determining checks agree, see module docstring)
+            detg = gather_v(det) & vm[None]  # [B, n, dv]
+            newly = jnp.any(detg, axis=-1) & eps  # [B, n]
+            sg = gather_v(s == 1)  # [B, n, dv]
+            val = jnp.any(detg & sg, axis=-1).astype(jnp.int32)
             err = jnp.where(newly, val, err)
             # flip the checks of every newly-fixed 1-bit
             delta = (newly & (val == 1)).astype(jnp.float32)

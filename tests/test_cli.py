@@ -103,12 +103,6 @@ def test_cli_mixed_sweep_single_flip_rate_enforced():
             "--trials", "8",
         ])
     # flags the mixed path cannot honor are rejected, not dropped
-    with _p.raises(SystemExit, match="not supported"):
-        main([
-            "sweep", "--code", "gallager:120,6,3", "--pers", "0.005",
-            "--erasure-rates", "0.1", "--trials", "8",
-            "--checkpoint", "/tmp/x.json",
-        ])
     with _p.raises(SystemExit, match="MixedChannelDecoder"):
         main([
             "sweep", "--code", "gallager:120,6,3", "--pers", "0.005",

@@ -174,3 +174,30 @@ def test_mixed_fer_sweep_reproducible_and_monotone():
         assert a[eps]["syndrome_mismatch_rate"] == 0.0
     assert a[0.12]["exact_failure_rate"] >= a[0.02]["exact_failure_rate"]
     assert a[0.12]["mean_peel_rounds"] >= a[0.02]["mean_peel_rounds"]
+
+
+def test_mixed_fer_sweep_checkpoint_resume(tmp_path):
+    """Resuming a checkpointed mixed sweep reproduces the uninterrupted
+    run exactly (counted streams; partial runs persist counters)."""
+    from ldpcdecoders_tpu.harness import mixed_fer_sweep
+
+    H = lt.parity_check_matrix(120, 6, 3, rng=0)
+    ckpt = str(tmp_path / "mixed.json")
+    kw = dict(batch=24, seed=7, osd_order=0, max_iters=30)
+    # stage 1: half the trials; stage 2: resume to the full count
+    mixed_fer_sweep(H, 0.005, [0.08], trials_per_point=48,
+                    checkpoint_path=ckpt, **kw)
+    resumed = mixed_fer_sweep(H, 0.005, [0.08], trials_per_point=96,
+                              checkpoint_path=ckpt, **kw)
+    oneshot = mixed_fer_sweep(H, 0.005, [0.08], trials_per_point=96, **kw)
+    for key in ("trials", "exact_failure_rate", "syndrome_mismatch_rate",
+                "ok_rate", "steps", "mean_peel_rounds"):
+        assert resumed[0.08][key] == oneshot[0.08][key], key
+    # mismatched config is refused
+    with pytest.raises(ValueError, match="different seed"):
+        mixed_fer_sweep(H, 0.005, [0.08], trials_per_point=8, batch=24,
+                        seed=8, osd_order=0, checkpoint_path=ckpt)
+    # a zero time budget returns immediately with nothing accumulated
+    out = mixed_fer_sweep(H, 0.005, [0.5], trials_per_point=8,
+                          max_seconds=0.0, **kw)
+    assert out == {}
