@@ -49,6 +49,7 @@ from .models import (
     QCMinSumDecoder,
     ErasurePeelingDecoder,
     MixedChannelDecoder,
+    NeuralMinSumDecoder,
     decode_soft,
 )
 from . import parallel

@@ -11,6 +11,7 @@ from .css import CSSDecoder
 from .qc_minsum import QCMinSumDecoder
 from .peeling import ErasurePeelingDecoder
 from .mixed import MixedChannelDecoder
+from .neural import NeuralMinSumDecoder
 
 __all__ = [
     "Decoder",
@@ -29,5 +30,6 @@ __all__ = [
     "QCMinSumDecoder",
     "ErasurePeelingDecoder",
     "MixedChannelDecoder",
+    "NeuralMinSumDecoder",
     "decode_soft",
 ]

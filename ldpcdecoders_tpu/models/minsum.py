@@ -56,11 +56,22 @@ def make_minsum_decode_fn(
     if np.ndim(per) and use_pallas:
         raise ValueError("use_pallas currently requires a scalar per")
     default_L0 = jnp.asarray(per_to_llr(per, n), dtype)
-    alpha = dtype(alpha)
-    beta = dtype(beta)
+    # alpha/beta may be scalars or per-iteration [max_iters] arrays (the
+    # neural min-sum decoder trains one pair per iteration — models/neural.py)
+    per_iter_ab = np.ndim(alpha) or np.ndim(beta)
+    if per_iter_ab:
+        if use_pallas:
+            raise ValueError("use_pallas requires scalar alpha/beta")
+        alphas = jnp.asarray(np.broadcast_to(alpha, (max_iters,)), dtype)
+        betas = jnp.asarray(np.broadcast_to(beta, (max_iters,)), dtype)
+        alpha = dtype(1.0)  # placeholders; body passes the per-iter values
+        beta = dtype(0.0)
+    else:
+        alpha = dtype(alpha)
+        beta = dtype(beta)
     big = dtype(1e30)
 
-    def check_update(nu_flat, syn_flip):
+    def check_update(nu_flat, syn_flip, alpha=alpha, beta=beta):
         """Var-side nu [B, dv*n] -> check-side mu [B, dc, m].
 
         Single unrolled sweep over the degree axis maintains
@@ -157,7 +168,13 @@ def make_minsum_decode_fn(
 
         def body(st):
             nu, err, llrs, done, it, iters = st
-            mu = check_update(nu.reshape(B, max_dv * n), syn_flip)
+            if per_iter_ab:
+                mu = check_update(
+                    nu.reshape(B, max_dv * n), syn_flip,
+                    alpha=alphas[it], beta=betas[it],
+                )
+            else:
+                mu = check_update(nu.reshape(B, max_dv * n), syn_flip)
             nu_n, total = var_update(mu, L0)
             errn = (total < 0).astype(jnp.float32)
             active = ~done
@@ -214,8 +231,8 @@ class MinSumDecoder(Decoder):
         self.m, self.n = self.graph.m, self.graph.n
         self.per = per if np.ndim(per) else float(per)
         self.max_iters = int(max_iters)
-        self.alpha = float(alpha)
-        self.beta = float(beta)
+        self.alpha = alpha if np.ndim(alpha) else float(alpha)
+        self.beta = beta if np.ndim(beta) else float(beta)
         self._use_pallas = bool(use_pallas)
         if use_pallas:
             self.supports_per_override = False  # kernels bake the prior

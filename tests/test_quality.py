@@ -65,6 +65,7 @@ def test_top_level_api_surface():
         "BitFlipDecoder", "BPOTSDecoder", "MinSumDecoder",
         "QuantizedMinSumDecoder", "LayeredMinSumDecoder", "BucketedDecoder",
         "QCMinSumDecoder", "ErasurePeelingDecoder", "MixedChannelDecoder",
+        "NeuralMinSumDecoder",
         "decode_soft",
         "qc_lift", "random_qc_base_matrix",
         "bivariate_bicycle_code", "named_bicycle_code", "css_code_k",
