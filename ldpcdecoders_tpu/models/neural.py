@@ -176,7 +176,8 @@ class NeuralMinSumDecoder(Decoder):
         )
 
     def train(self, *, steps: int = 300, batch: int = 256, lr: float = 2e-2,
-              seed: int = 0, per: float | None = None) -> dict:
+              seed: int = 0, per: float | None = None,
+              per_range: tuple[float, float] | None = None) -> dict:
         """Fit the (alpha, beta) schedule by Adam on fresh channel samples.
 
         Each step draws ``batch`` iid error patterns at ``per`` on
@@ -184,18 +185,41 @@ class NeuralMinSumDecoder(Decoder):
         per-iteration sigmoid cross-entropy between the output LLRs and
         the injected errors.  Returns ``{"losses": [steps]}`` and bakes
         the trained schedule into the production decode.
+
+        ``per_range=(lo, hi)`` trains a *robust* schedule instead: each
+        lane draws its own noise level uniformly from the range (and the
+        matching channel LLR), so one schedule serves a whole operating
+        region — pair with ``batch_decode(per=...)`` at deploy time.
         """
         import optax
 
-        per_t = self.per if per is None else float(per)
-        L0 = float(per_to_llr(per_t, 1))
         n = self.n
         soft = self._soft_fn
         syndrome_from = self._syndrome_fn
         learn = self.learn
+        if per_range is not None:
+            lo, hi = (float(x) for x in per_range)
+            if not 0.0 < lo <= hi < 0.5:
+                raise ValueError(f"per_range must satisfy 0 < lo <= hi < 0.5, got {per_range}")
+        else:
+            per_t = self.per if per is None else float(per)
+            L0_const = float(per_to_llr(per_t, 1))
 
         def loss_fn(params, key):
-            e = (jax.random.uniform(key, (batch, n)) < per_t).astype(jnp.float32)
+            if per_range is not None:
+                k1, k2 = jax.random.split(key)
+                p_lane = jax.random.uniform(
+                    k1, (batch, 1), minval=lo, maxval=hi
+                )
+                e = (jax.random.uniform(k2, (batch, n)) < p_lane).astype(
+                    jnp.float32
+                )
+                L0 = jnp.log((1.0 - p_lane) / p_lane) * jnp.ones((1, n))
+            else:
+                e = (jax.random.uniform(key, (batch, n)) < per_t).astype(
+                    jnp.float32
+                )
+                L0 = L0_const
             syn = syndrome_from(e)
             llrs = soft(params, syn, L0)  # [T, B, n]
             # P(e_j = 1) = sigmoid(-llr); optax's sigmoid BCE takes logits

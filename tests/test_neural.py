@@ -74,3 +74,23 @@ def test_learn_scope_freezes_parameters():
     assert not np.allclose(d_b.beta, 0.0)
     with pytest.raises(ValueError, match="learn must be"):
         NeuralMinSumDecoder(H, 0.05, 4, learn="nope")
+
+
+def test_range_training_is_robust_across_rates():
+    """A per_range-trained schedule must beat plain min-sum at BOTH ends
+    of its operating region (single-rate schedules can overfit)."""
+    H = lt.parity_check_matrix(240, 6, 3, rng=0)
+    T = 8
+    dec = NeuralMinSumDecoder(H, 0.05, T)
+    dec.train(steps=100, batch=192, lr=2e-2, seed=2, per_range=(0.03, 0.07))
+    rng = np.random.default_rng(11)
+    for per in (0.03, 0.07):
+        e = rng.random((512, 240)) < per
+        syn = ((e @ H.T) % 2).astype(np.int8)
+        out_n, _ = dec.batch_decode(syn, per=per)
+        out_p, _ = lt.MinSumDecoder(H, per, T).batch_decode(syn)
+        fer_n = 1 - (out_n.astype(bool) == e).all(axis=1).mean()
+        fer_p = 1 - (out_p.astype(bool) == e).all(axis=1).mean()
+        assert fer_n < fer_p
+    with pytest.raises(ValueError, match="per_range"):
+        dec.train(steps=1, per_range=(0.0, 0.6))
