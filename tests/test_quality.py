@@ -23,6 +23,8 @@ def test_doctests():
         "ldpcdecoders_tpu.models.bitflip",
         "ldpcdecoders_tpu.models.bpots",
         "ldpcdecoders_tpu.models.minsum",
+        "ldpcdecoders_tpu.models.mixed",
+        "ldpcdecoders_tpu.models.neural",
     ):
         mod = importlib.import_module(mod_name)
         results = doctest.testmod(mod)
