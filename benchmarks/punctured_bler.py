@@ -29,7 +29,7 @@ B = 2048
 rng = np.random.default_rng(0)
 
 points = {}
-for snr_db in (2.0, 2.5, 3.0, 3.5, 4.0):
+for snr_db in (0.5, 1.0, 1.5, 2.0, 2.5, 3.0):
     # Eb/N0 -> noise sigma for rate r BPSK: sigma^2 = 1/(2 r Eb/N0)
     row = {}
     for punct in (False, True):
