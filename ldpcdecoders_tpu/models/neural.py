@@ -261,6 +261,32 @@ class NeuralMinSumDecoder(Decoder):
         self._rebuild()
         return {"losses": losses}
 
+    def save_schedule(self, path: str) -> None:
+        """Persist the trained (alpha, beta) schedule to npz — train once,
+        deploy many (the schedule is code- and iteration-count-specific)."""
+        np.savez(
+            path, alpha=self.alpha, beta=self.beta,
+            max_iters=np.int64(self.max_iters),
+            m=np.int64(self.m), n=np.int64(self.n),
+        )
+
+    def load_schedule(self, path: str) -> "NeuralMinSumDecoder":
+        """Load a schedule saved by :meth:`save_schedule` into this decoder
+        (shapes are validated against the code and iteration count)."""
+        with np.load(path if path.endswith(".npz") else path + ".npz") as d:
+            if (int(d["max_iters"]), int(d["m"]), int(d["n"])) != (
+                self.max_iters, self.m, self.n
+            ):
+                raise ValueError(
+                    f"schedule was trained for max_iters={int(d['max_iters'])} on an "
+                    f"[{int(d['m'])}, {int(d['n'])}] code; this decoder is "
+                    f"max_iters={self.max_iters} on [{self.m}, {self.n}]"
+                )
+            self.alpha = np.asarray(d["alpha"], np.float32)
+            self.beta = np.asarray(d["beta"], np.float32)
+        self._rebuild()
+        return self
+
     def _decode_batch(self, syndromes, seed: int = 0, per=None):
         arg = None
         if per is not None:

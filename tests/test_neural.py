@@ -94,3 +94,22 @@ def test_range_training_is_robust_across_rates():
         assert fer_n < fer_p
     with pytest.raises(ValueError, match="per_range"):
         dec.train(steps=1, per_range=(0.0, 0.6))
+
+
+def test_schedule_save_load_roundtrip(tmp_path, trained):
+    H, dec, _ = trained
+    path = str(tmp_path / "sched.npz")
+    dec.save_schedule(path)
+    fresh = NeuralMinSumDecoder(H, 0.06, 8).load_schedule(path)
+    assert np.array_equal(fresh.alpha, dec.alpha)
+    assert np.array_equal(fresh.beta, dec.beta)
+    rng = np.random.default_rng(3)
+    e = rng.random((32, 240)) < 0.06
+    syn = ((e @ H.T) % 2).astype(np.int8)
+    a, _ = dec.batch_decode(syn)
+    b, _ = fresh.batch_decode(syn)
+    assert np.array_equal(a, b)
+    # mismatched config refused
+    other = NeuralMinSumDecoder(H, 0.06, 6)
+    with pytest.raises(ValueError, match="trained for max_iters=8"):
+        other.load_schedule(path)
