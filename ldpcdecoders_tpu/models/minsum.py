@@ -37,12 +37,17 @@ def make_minsum_decode_fn(
     dtype=jnp.float32,
     use_pallas: bool = False,
     pallas_interpret: bool = False,
+    edge_weights=None,
 ):
     """Build a jittable ``syndromes [B,m] -> (err, converged, iters, llrs)``.
 
     With ``use_pallas=True`` the check/var updates run as fused Pallas
     kernels (ops/pallas_minsum.py); the cross-layout gathers remain XLA
     ops either way.
+
+    ``edge_weights`` optionally applies trained per-edge message weights
+    ``[max_iters, max_dv, n]`` (var-slot layout) in the variable update —
+    the Nachmani-style weighted min-sum models/neural.py trains.
     """
     m, n = graph.m, graph.n
     max_dc, max_dv = graph.max_dc, graph.max_dv
@@ -69,6 +74,15 @@ def make_minsum_decode_fn(
     else:
         alpha = dtype(alpha)
         beta = dtype(beta)
+    if edge_weights is not None:
+        if use_pallas:
+            raise ValueError("use_pallas does not support edge_weights")
+        edge_weights = jnp.asarray(edge_weights, dtype)
+        if edge_weights.shape != (max_iters, max_dv, n):
+            raise ValueError(
+                f"edge_weights must be [{max_iters}, {max_dv}, {n}], "
+                f"got {edge_weights.shape}"
+            )
     big = dtype(1e30)
 
     def check_update(nu_flat, syn_flip, alpha=alpha, beta=beta):
@@ -109,11 +123,18 @@ def make_minsum_decode_fn(
             outs.append(jnp.where(flip, -mag_out, mag_out))
         return jnp.concatenate(outs, axis=1)
 
-    def var_update(mu, L0):
-        """Check-side mu [B, dc, m] -> (nu [B, dv, n], llr [B, n])."""
+    def var_update(mu, L0, W=None):
+        """Check-side mu [B, dc, m] -> (nu [B, dv, n], llr [B, n]).
+
+        ``W`` optionally weights each incoming message (Nachmani-style
+        per-edge weights, [max_dv, n] in var-slot layout — see
+        models/neural.py's per-edge training).
+        """
         B = mu.shape[0]
         Mg = jnp.take(mu.reshape(B, max_dc * m), v2c, axis=1).reshape(B, max_dv, n)
         Mg = jnp.where(var_mask, Mg, dtype(0.0))
+        if W is not None:
+            Mg = Mg * W.astype(dtype)[None]
         total = L0 + jnp.sum(Mg, axis=1)
         nu = total[:, None, :] - Mg
         return nu, total
@@ -175,7 +196,10 @@ def make_minsum_decode_fn(
                 )
             else:
                 mu = check_update(nu.reshape(B, max_dv * n), syn_flip)
-            nu_n, total = var_update(mu, L0)
+            if edge_weights is not None:
+                nu_n, total = var_update(mu, L0, W=edge_weights[it])
+            else:
+                nu_n, total = var_update(mu, L0)
             errn = (total < 0).astype(jnp.float32)
             active = ~done
             # freeze only the [B, n] outputs; unfrozen [B, E] messages on

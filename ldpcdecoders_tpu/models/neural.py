@@ -47,11 +47,13 @@ def make_soft_minsum_fn(graph: TannerGraph, max_iters: int, dtype=jnp.float32):
     """Build the differentiable unrolled forward pass.
 
     Returns ``fn(params, syndromes [B, m], L0) -> llrs [T, B, n]`` where
-    ``params = {"alpha": [T], "beta": [T]}``.  A fixed-trip ``lax.scan``
-    (no early exit, soft outputs every iteration) — the training-time
-    counterpart of models/minsum.py's production decode; the two share
-    the slot-major layout and the two-min exclusive reduction, so a
-    trained ``(alpha, beta)`` schedule transfers exactly.
+    ``params = {"alpha": [T], "beta": [T]}`` plus optionally
+    ``"w": [T, max_dv, n]`` per-edge variable-update weights (the full
+    Nachmani parameterization).  A fixed-trip ``lax.scan`` (no early
+    exit, soft outputs every iteration) — the training-time counterpart
+    of models/minsum.py's production decode; the two share the
+    slot-major layout and the two-min exclusive reduction, so a trained
+    schedule transfers exactly.
     """
     m, n = graph.m, graph.n
     max_dc, max_dv = graph.max_dc, graph.max_dv
@@ -102,17 +104,22 @@ def make_soft_minsum_fn(graph: TannerGraph, max_iters: int, dtype=jnp.float32):
             [jnp.asarray(params["alpha"], dtype), jnp.asarray(params["beta"], dtype)],
             axis=1,
         )  # [T, 2]
+        w = params.get("w")
+        xs = (ab, jnp.asarray(w, dtype)) if w is not None else (ab,)
 
-        def step(nu, ab_t):
+        def step(nu, xs_t):
+            ab_t = xs_t[0]
             mu = check_update(nu, syn_flip, ab_t[0], ab_t[1])
             Mg = jnp.take(mu.reshape(B, max_dc * m), v2c, axis=1).reshape(
                 B, max_dv, n
             )
             Mg = jnp.where(var_mask, Mg, dtype(0.0))
+            if len(xs_t) > 1:
+                Mg = Mg * xs_t[1][None]
             total = L0 + jnp.sum(Mg, axis=1)
             return total[:, None, :] - Mg, total
 
-        _, llrs = jax.lax.scan(step, nu0, ab)
+        _, llrs = jax.lax.scan(step, nu0, xs)
         return llrs  # [T, B, n]
 
     return fn
@@ -132,7 +139,11 @@ class NeuralMinSumDecoder(Decoder):
       max_iters: decode iterations == number of trained (alpha, beta)
         pairs.
       learn: "both" (default), "alpha" (normalized min-sum), or "beta"
-        (offset min-sum) — which parameters receive gradients.
+        (offset min-sum) — which schedule parameters receive gradients.
+      param_scope: "iteration" (default — 2*T scalars) or "edge" (adds
+        Nachmani-style per-edge variable-update weights, T*max_dv*n
+        parameters — helps most on structured/quantum codes whose
+        trapping sets a uniform schedule cannot break).
 
     Example:
 
@@ -146,9 +157,13 @@ class NeuralMinSumDecoder(Decoder):
     """
 
     def __init__(self, H, per: float, max_iters: int, *, learn: str = "both",
-                 dtype=jnp.float32):
+                 param_scope: str = "iteration", dtype=jnp.float32):
         if learn not in ("both", "alpha", "beta"):
             raise ValueError(f"learn must be 'both', 'alpha', or 'beta', got {learn!r}")
+        if param_scope not in ("iteration", "edge"):
+            raise ValueError(
+                f"param_scope must be 'iteration' or 'edge', got {param_scope!r}"
+            )
         if isinstance(H, TannerGraph):
             self.graph = H
         elif hasattr(H, "tocoo"):
@@ -160,9 +175,14 @@ class NeuralMinSumDecoder(Decoder):
         self.per = float(per)
         self.max_iters = int(max_iters)
         self.learn = learn
+        self.param_scope = param_scope
         self.dtype = dtype
         self.alpha = np.ones(self.max_iters, np.float32)
         self.beta = np.zeros(self.max_iters, np.float32)
+        self.w = (
+            np.ones((self.max_iters, self.graph.max_dv, self.n), np.float32)
+            if param_scope == "edge" else None
+        )
         self._soft_fn = make_soft_minsum_fn(self.graph, self.max_iters, dtype)
         self._syndrome_fn = make_syndrome_fn(self.graph)
         self._rebuild()
@@ -172,6 +192,7 @@ class NeuralMinSumDecoder(Decoder):
             make_minsum_decode_fn(
                 self.graph, self.per, self.max_iters,
                 alpha=self.alpha, beta=self.beta, dtype=self.dtype,
+                edge_weights=self.w,
             )
         )
 
@@ -233,6 +254,8 @@ class NeuralMinSumDecoder(Decoder):
             "alpha": jnp.asarray(self.alpha),
             "beta": jnp.asarray(self.beta),
         }
+        if self.w is not None:
+            params["w"] = jnp.asarray(self.w)
         tx = optax.adam(lr)
         opt_state = tx.init(params)
         frozen = {"both": (), "alpha": ("beta",), "beta": ("alpha",)}[learn]
@@ -248,6 +271,8 @@ class NeuralMinSumDecoder(Decoder):
             # beta >= 0 (a negative offset would *amplify* magnitudes)
             params["alpha"] = jnp.clip(params["alpha"], 1e-2, 2.0)
             params["beta"] = jnp.clip(params["beta"], 0.0, 5.0)
+            if "w" in params:
+                params["w"] = jnp.clip(params["w"], 0.0, 2.0)
             return params, opt_state, loss
 
         key = jax.random.PRNGKey(seed)
@@ -258,16 +283,19 @@ class NeuralMinSumDecoder(Decoder):
             losses.append(float(loss))
         self.alpha = np.asarray(params["alpha"], np.float32)
         self.beta = np.asarray(params["beta"], np.float32)
+        if "w" in params:
+            self.w = np.asarray(params["w"], np.float32)
         self._rebuild()
         return {"losses": losses}
 
     def save_schedule(self, path: str) -> None:
         """Persist the trained (alpha, beta) schedule to npz — train once,
         deploy many (the schedule is code- and iteration-count-specific)."""
+        extra = {"w": self.w} if self.w is not None else {}
         np.savez(
             path, alpha=self.alpha, beta=self.beta,
             max_iters=np.int64(self.max_iters),
-            m=np.int64(self.m), n=np.int64(self.n),
+            m=np.int64(self.m), n=np.int64(self.n), **extra,
         )
 
     def load_schedule(self, path: str) -> "NeuralMinSumDecoder":
@@ -284,6 +312,13 @@ class NeuralMinSumDecoder(Decoder):
                 )
             self.alpha = np.asarray(d["alpha"], np.float32)
             self.beta = np.asarray(d["beta"], np.float32)
+            if "w" in d.files:
+                self.w = np.asarray(d["w"], np.float32)
+            elif self.w is not None:
+                raise ValueError(
+                    "schedule has no per-edge weights but this decoder was "
+                    "built with param_scope='edge'"
+                )
         self._rebuild()
         return self
 

@@ -113,3 +113,47 @@ def test_schedule_save_load_roundtrip(tmp_path, trained):
     other = NeuralMinSumDecoder(H, 0.06, 6)
     with pytest.raises(ValueError, match="trained for max_iters=8"):
         other.load_schedule(path)
+
+
+def test_per_edge_weights_beat_uniform_bp_on_toric():
+    """Per-edge weights (param_scope='edge') break toric-code trapping-set
+    symmetries that no uniform schedule can: syndrome-match rate must beat
+    plain min-sum by a clear margin."""
+    Hx = lt.toric_code_x(4)
+    per, T = 0.04, 12
+    rng = np.random.default_rng(5)
+    B = 512
+    e = rng.random((B, Hx.shape[1])) < per
+    syn = ((e @ Hx.T) % 2).astype(np.int8)
+
+    def smatch(d):
+        out, _ = d.batch_decode(syn)
+        sh = (out.astype(np.int64) @ Hx.T) % 2
+        return float((sh == syn).all(axis=1).mean())
+
+    dec = NeuralMinSumDecoder(Hx, per, T, param_scope="edge")
+    hist = dec.train(steps=100, batch=192, seed=0)
+    assert hist["losses"][-1] < hist["losses"][0]
+    assert dec.w is not None and not np.allclose(dec.w, 1.0)
+    s_neural = smatch(dec)
+    s_plain = smatch(lt.MinSumDecoder(Hx, per, T))
+    assert s_neural > s_plain + 0.02
+
+    # persistence round-trips the weights; scope mismatch is refused
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "sched.npz")
+        dec.save_schedule(p)
+        fresh = NeuralMinSumDecoder(Hx, per, T, param_scope="edge").load_schedule(p)
+        assert np.array_equal(fresh.w, dec.w)
+        a, _ = dec.batch_decode(syn)
+        b, _ = fresh.batch_decode(syn)
+        assert np.array_equal(a, b)
+        plain = NeuralMinSumDecoder(Hx, per, T)
+        plain.save_schedule(os.path.join(td, "now.npz"))
+        with pytest.raises(ValueError, match="per-edge"):
+            NeuralMinSumDecoder(Hx, per, T, param_scope="edge").load_schedule(
+                os.path.join(td, "now.npz")
+            )
+    with pytest.raises(ValueError, match="param_scope"):
+        NeuralMinSumDecoder(Hx, per, T, param_scope="nope")
