@@ -57,7 +57,7 @@ def _build_code(spec: str):
     raise SystemExit(f"unknown code spec '{spec}'")
 
 
-def _decoder_factory(name: str, H, max_iters: int, osd_order: int, T: int, C: float, fused: bool = False, osd_scope: str = 'all', qc=None, schedule: str = 'flooding'):
+def _decoder_factory(name: str, H, max_iters: int, osd_order: int, T: int, C: float, fused: bool = False, osd_scope: str = 'all', qc=None, schedule: str = 'flooding', schedule_file=None):
     import ldpcdecoders_tpu as lt
     from ldpcdecoders_tpu.config import DecoderConfig
 
@@ -75,6 +75,10 @@ def _decoder_factory(name: str, H, max_iters: int, osd_order: int, T: int, C: fl
         "qc_minsum": lambda per: DecoderConfig(
             kind="qc_minsum", per=per, max_iters=max_iters, schedule=schedule
         ).build(qc),
+        "neural_minsum": lambda per: DecoderConfig(
+            kind="neural_minsum", per=per, max_iters=max_iters,
+            schedule_path=schedule_file,
+        ).build(H),
     }
     if name not in table:
         raise SystemExit(f"unknown decoder '{name}' (choose from {sorted(table)})")
@@ -100,6 +104,8 @@ def main(argv=None):
     common.add_argument("--osd-scope", default="all", choices=("all", "failed"),
                         help="bposd: run OSD-w on all lanes (reference) or "
                         "failing lanes only (throughput deviation)")
+    common.add_argument("--schedule-file", default=None,
+                        help="npz schedule from `train` (neural_minsum)")
     common.add_argument("--schedule", default="flooding",
                         choices=("flooding", "layered"),
                         help="qc_minsum: message-passing schedule")
@@ -136,6 +142,21 @@ def main(argv=None):
     th.add_argument("--seed", type=int, default=0)
     th.add_argument("--max-probes", type=int, default=12)
 
+    tr = sub.add_parser(
+        "train", parents=[common],
+        help="train a neural min-sum schedule and save it to npz",
+    )
+    tr.add_argument("--per", type=float, default=0.01, help="training noise rate")
+    tr.add_argument("--per-range", default=None,
+                    help="lo,hi — train a rate-robust schedule instead")
+    tr.add_argument("--steps", type=int, default=300)
+    tr.add_argument("--train-batch", type=int, default=256)
+    tr.add_argument("--lr", type=float, default=2e-2)
+    tr.add_argument("--param-scope", default="iteration",
+                    choices=("iteration", "edge"))
+    tr.add_argument("--seed", type=int, default=0)
+    tr.add_argument("--out", required=True, help="output npz path")
+
     a = ap.parse_args(argv)
 
     from ldpcdecoders_tpu.cache import enable_compilation_cache
@@ -145,7 +166,31 @@ def main(argv=None):
     enable_compilation_cache()
 
     H, qc = _build_code(a.code)
-    factory = _decoder_factory(a.decoder, H, a.max_iters, a.osd_order, a.T, a.C, a.fused, a.osd_scope, qc=qc, schedule=a.schedule)
+    if a.cmd == "train":
+        from ldpcdecoders_tpu.models.neural import NeuralMinSumDecoder
+
+        dec = NeuralMinSumDecoder(
+            H, a.per, a.max_iters, param_scope=a.param_scope
+        )
+        kw = {}
+        if a.per_range:
+            lo, hi = (float(x) for x in a.per_range.split(","))
+            kw["per_range"] = (lo, hi)
+        t0 = time.perf_counter()
+        hist = dec.train(
+            steps=a.steps, batch=a.train_batch, lr=a.lr, seed=a.seed, **kw
+        )
+        dec.save_schedule(a.out)
+        print(json.dumps({
+            "schedule": a.out,
+            "param_scope": a.param_scope,
+            "steps": a.steps,
+            "loss_first": round(hist["losses"][0], 6),
+            "loss_last": round(hist["losses"][-1], 6),
+            "train_seconds": round(time.perf_counter() - t0, 2),
+        }))
+        return 0
+    factory = _decoder_factory(a.decoder, H, a.max_iters, a.osd_order, a.T, a.C, a.fused, a.osd_scope, qc=qc, schedule=a.schedule, schedule_file=a.schedule_file)
 
     with trace(a.profile):
         if a.cmd == "sweep" and a.erasure_rates:

@@ -23,6 +23,7 @@ _KINDS = (
     "minsum_int8",
     "layered_minsum",
     "qc_minsum",
+    "neural_minsum",
 )
 
 
@@ -65,6 +66,9 @@ class DecoderConfig:
     schedule: str = "flooding"
     #: qc_minsum only: 'minsum' or 'sumproduct' (exact tanh-rule BP)
     algorithm: str = "minsum"
+    #: neural_minsum only: npz schedule saved by
+    #: NeuralMinSumDecoder.save_schedule (None = untrained = plain min-sum)
+    schedule_path: str | None = None
 
     def __post_init__(self):
         if self.kind not in _KINDS:
@@ -121,6 +125,11 @@ class DecoderConfig:
             return lt.QuantizedMinSumDecoder(
                 H, self.per, self.max_iters, scale=self.scale, beta_q=self.beta_q
             )
+        if k == "neural_minsum":
+            dec = lt.NeuralMinSumDecoder(H, self.per, self.max_iters)
+            if self.schedule_path:
+                dec.load_schedule(self.schedule_path)
+            return dec
         if k == "layered_minsum":
             return lt.LayeredMinSumDecoder(
                 H, self.per, self.max_iters,

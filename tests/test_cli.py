@@ -109,3 +109,28 @@ def test_cli_mixed_sweep_single_flip_rate_enforced():
             "--erasure-rates", "0.1", "--trials", "8",
             "--decoder", "minsum",
         ])
+
+
+def test_cli_train_then_bench_neural(tmp_path, capsys):
+    """train writes a schedule; bench consumes it via --decoder
+    neural_minsum --schedule-file."""
+    import json
+    from ldpcdecoders_tpu.cli import main
+
+    sched = str(tmp_path / "sched.npz")
+    rc = main([
+        "train", "--code", "gallager:120,6,3", "--max-iters", "6",
+        "--per", "0.04", "--steps", "12", "--train-batch", "32",
+        "--out", sched,
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["loss_last"] < out["loss_first"]
+    rc = main([
+        "bench", "--code", "gallager:120,6,3", "--decoder", "neural_minsum",
+        "--schedule-file", sched, "--max-iters", "6", "--batch", "32",
+        "--reps", "2",
+    ])
+    assert rc == 0
+    bench = json.loads(capsys.readouterr().out)
+    assert bench["decoder"] == "neural_minsum" and bench["syndromes_per_s"] > 0
