@@ -21,7 +21,12 @@ import numpy as np
 from .models.base import Decoder
 from .utils.io import atomic_write_json, read_json
 from .utils.metrics import wilson_interval
-from .utils.noise import sample_errors, sample_mixed_channel, syndromes_of
+from .utils.noise import (
+    sample_errors,
+    sample_mixed_channel,
+    syndromes_of,
+    verify_decodes,
+)
 
 __all__ = ["FERSweep", "SweepPoint", "find_threshold", "css_logical_sweep",
            "mixed_fer_sweep"]
@@ -273,9 +278,7 @@ class FERSweep:
                         guesses, conv, iters, aux, _ = decoder.batch_decode_detailed(
                             syns, seed=decode_seed
                         )
-                    exact = (guesses.astype(bool) == errs).all(axis=1)
-                    synhat = syndromes_of(self.H, guesses)
-                    smatch = (synhat == syns).all(axis=1)
+                    exact, smatch = verify_decodes(self.H, errs, guesses, syns)
                     counts = {
                         "trials": b_local,
                         "exact_failures": int(b_local - exact.sum()),
@@ -586,9 +589,7 @@ def mixed_fer_sweep(
                 syns, erasures
             )
             st["wall_seconds"] += time.perf_counter() - t0
-            exact = (guesses.astype(bool) == errs).all(axis=1)
-            synhat = syndromes_of(H, guesses)
-            smatch = (synhat == syns).all(axis=1)
+            exact, smatch = verify_decodes(H, errs, guesses, syns)
             st["trials"] += b
             st["step"] += 1
             st["exact_fail"] += int(b - exact.sum())

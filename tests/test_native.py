@@ -61,3 +61,54 @@ def test_auto_dispatch_uses_native_for_large():
     auto = TannerGraph.from_pcm(H)
     py = TannerGraph.from_pcm(H, use_native=False)
     assert _graphs_equal(auto, py)
+
+
+# -- bit-packed GF(2) host kernels (gf2_host.cpp) -------------------------
+
+
+def test_gf2_pack_and_syndromes_match_int64():
+    from ldpcdecoders_tpu.native import gf2_syndromes_packed, pack_gf2_rows
+
+    rng = np.random.default_rng(7)
+    # odd n exercises the partial final word
+    for m, n, B in [(90, 130, 33), (900, 1000, 64), (3, 64, 1)]:
+        H = (rng.random((m, n)) < 0.05).astype(np.uint8)
+        E = (rng.random((B, n)) < 0.1).astype(np.uint8)
+        got = gf2_syndromes_packed(pack_gf2_rows(H), pack_gf2_rows(E), m)
+        ref = (E.astype(np.int64) @ H.astype(np.int64).T) % 2
+        assert (got == ref).all()
+
+
+def test_gf2_verify_matches_reference_semantics():
+    from ldpcdecoders_tpu.utils.noise import syndromes_of, verify_decodes
+
+    rng = np.random.default_rng(8)
+    H = lt.parity_check_matrix(200, 10, 5, rng=9)
+    B, n = 47, H.shape[1]
+    errs = rng.random((B, n)) < 0.05
+    guesses = errs.astype(np.int8).copy()
+    # corrupt a third of the lanes with single-bit flips, and replace a
+    # third with a different error having the SAME syndrome (degenerate:
+    # exact=False but smatch=True requires a kernel element; flipping two
+    # bits of one check's support is not generally in the kernel, so just
+    # verify agreement with the definition)
+    for b in range(0, B, 3):
+        guesses[b, rng.integers(n)] ^= 1
+    syns = syndromes_of(H, errs)
+    exact, smatch = verify_decodes(H, errs, guesses, syns)
+    assert (exact == (guesses.astype(bool) == errs).all(axis=1)).all()
+    assert (smatch == (syndromes_of(H, guesses) == syns).all(axis=1)).all()
+
+
+def test_syndromes_of_blas_fallback_matches(monkeypatch):
+    # force the no-native path: syndromes_of must fall through to BLAS f32
+    from ldpcdecoders_tpu.utils import noise
+
+    monkeypatch.setattr(noise, "_packed_of", lambda H: None)
+    rng = np.random.default_rng(10)
+    H = lt.parity_check_matrix(500, 10, 4, rng=11)
+    E = rng.random((29, 500)) < 0.07
+    ref = (E.astype(np.int64) @ H.astype(np.int64).T) % 2
+    assert (noise.syndromes_of(H, E) == ref).all()
+    exact, smatch = noise.verify_decodes(H, E, E.astype(np.int8), ref)
+    assert exact.all() and smatch.all()
