@@ -94,6 +94,26 @@ class FERSweep:
         are summed with :func:`parallel.multihost.allreduce_counts`; only
         process 0 writes checkpoints.  Default: auto (on when the process
         group has more than one member).
+      pipeline: number of batches in flight on the device (single-host
+        only; multihost runs synchronously to keep collectives ordered).
+        Each step is dispatched with
+        :meth:`~ldpcdecoders_tpu.models.base.Decoder.batch_decode_detailed_async`
+        and host-side sampling/verification of neighboring batches runs
+        while the device decodes — results are bit-identical to the
+        synchronous loop (streams derive from the step index alone, and
+        batches finalize in dispatch order).  1 disables overlap.
+      sample_on_device: generate the error patterns and syndromes inside
+        the fused device step (``jax.random`` keyed by the same
+        (seed, point, step) derivation, so interrupted runs still resume
+        on exact streams) — the whole trial batch becomes ONE device
+        program with a ``[4]`` count fetch, and per-batch host work drops
+        to ~zero.  Opt-in because the noise streams are jax.random rather
+        than the NumPy streams host sampling draws, so accumulated counts
+        are statistically equivalent but not bitwise comparable with a
+        host-sampled sweep (or with checkpoints written by one; resuming
+        a checkpoint across a sampling-mode switch raises).  Requires a
+        dense H and a decoder whose ``_decode_batch`` traces; falls back
+        to host sampling otherwise.
     """
 
     def __init__(
@@ -106,6 +126,8 @@ class FERSweep:
         checkpoint_path: str | None = None,
         seed: int = 0,
         multihost: bool | None = None,
+        pipeline: int = 4,
+        sample_on_device: bool = False,
     ):
         # keep scipy.sparse H as-is: syndromes_of handles it natively, and
         # densifying a from_edges-scale code here would allocate gigabytes
@@ -118,6 +140,9 @@ class FERSweep:
         # initializes the JAX backend, which must not happen before the user
         # has had a chance to call initialize_multihost()
         self.multihost: bool | None = None if multihost is None else bool(multihost)
+        self.pipeline = max(1, int(pipeline))
+        self.sample_on_device = bool(sample_on_device)
+        self._dev_verify = None  # lazily jitted device-side count kernel
         self.points = {float(p): SweepPoint(per=float(p)) for p in pers}
         if checkpoint_path and os.path.exists(checkpoint_path):
             self._load_checkpoint()
@@ -129,6 +154,11 @@ class FERSweep:
         if data.get("seed") != self.seed or data.get("batch") != self.batch:
             raise ValueError(
                 "checkpoint was written with a different seed/batch config"
+            )
+        if bool(data.get("sample_on_device", False)) != self.sample_on_device:
+            raise ValueError(
+                "checkpoint was written with a different sampling mode "
+                "(host vs device noise streams are not interchangeable)"
             )
         for rec in data["points"]:
             p = float(rec["per"])
@@ -148,6 +178,7 @@ class FERSweep:
             {
                 "seed": self.seed,
                 "batch": self.batch,
+                "sample_on_device": self.sample_on_device,
                 "points": [dataclasses.asdict(pt) for pt in self.points.values()],
             },
         )
@@ -185,12 +216,121 @@ class FERSweep:
 
     # -- running ----------------------------------------------------------
 
+    def _device_verify(self):
+        """Jitted on-device batch verification (dense H only).
+
+        Fetching the ``[B, n]`` guesses to verify host-side costs multiple
+        device->host round trips per batch — measured ~110 ms/batch over
+        the tunneled v5e against ~30 ms of decode.  Instead the counts the
+        sweep actually accumulates are reduced on device and fetched as ONE
+        ``[4]`` int32 vector: (exact failures, syndrome mismatches,
+        non-converged, total iterations).  The f32 MXU matmul is exact
+        (per-check 0/1 overlap counts are far below 2^24).
+        """
+        if self._dev_verify is None:
+            import jax
+            import jax.numpy as jnp
+
+            Hd = jnp.asarray(np.asarray(self.H), jnp.float32)
+
+            @jax.jit
+            def fn(guesses, errs, syns, conv, iters):
+                exact = jnp.all(guesses.astype(jnp.int8) == errs.astype(jnp.int8),
+                                axis=1)
+                synhat = jnp.mod(guesses.astype(jnp.float32) @ Hd.T, 2.0)
+                smatch = jnp.all(synhat == syns.astype(jnp.float32), axis=1)
+                return jnp.stack([
+                    jnp.sum(~exact, dtype=jnp.int32),
+                    jnp.sum(~smatch, dtype=jnp.int32),
+                    jnp.sum(~conv, dtype=jnp.int32),
+                    jnp.sum(iters, dtype=jnp.int32),
+                ])
+
+            self._dev_verify = fn
+        return self._dev_verify
+
+    def _make_fused_step(self, decoder, per: float, use_per_kw: bool):
+        """Jit decode + verification into ONE device program.
+
+        Separate decode/verify dispatches each block ~10-30 ms on the
+        tunneled runtime; fusing them (tracing through the decoder's
+        ``_decode_batch``) leaves one dispatch and one ``[4]`` int32 fetch
+        per batch — measured 21 ms vs ~100 ms per 1024-lane batch, and XLA
+        dead-code-eliminates decoder aux outputs (e.g. LLRs) the sweep
+        never reads.  ``per`` is closed over statically (one compile per
+        noise point; the persistent cache absorbs re-runs).  Decoders with
+        host-side orchestration (OSD lane compaction, bucketing) fail to
+        trace and the caller falls back to the two-dispatch path.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        Hd = jnp.asarray(np.asarray(self.H), jnp.float32)
+        kw = {"per": float(per)} if use_per_kw else {}
+
+        def step(syns, errs, seed):
+            out = decoder._decode_batch(syns, seed, **kw)
+            err, conv, iters = out[0], out[1], out[2]
+            exact = jnp.all(err.astype(jnp.int8) == errs, axis=1)
+            synhat = jnp.mod(err.astype(jnp.float32) @ Hd.T, 2.0)
+            smatch = jnp.all(synhat == syns.astype(jnp.float32), axis=1)
+            return jnp.stack([
+                jnp.sum(~exact, dtype=jnp.int32),
+                jnp.sum(~smatch, dtype=jnp.int32),
+                jnp.sum(~conv, dtype=jnp.int32),
+                jnp.sum(iters, dtype=jnp.int32),
+            ])
+
+        return jax.jit(step)
+
+    def _make_device_step(self, decoder, per: float, use_per_kw: bool, b: int):
+        """Fully device-resident sweep step: sample -> syndrome -> decode ->
+        count, one program, one ``[4]`` fetch.
+
+        The ``sample_on_device=True`` endgame of the dispatch-cost ladder
+        (host verify ~271 ms -> native verify ~5 ms -> fused decode+verify
+        one dispatch -> this: no per-batch host arrays at all).  Noise is
+        ``jax.random.bernoulli`` keyed by the per-(point, step) seed the
+        host derives — the same counted-stream discipline, so interrupted
+        runs resume exactly; syndromes come from the same exact f32 MXU
+        matmul the verification uses.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        n = self.H.shape[1]
+        Hd = jnp.asarray(np.asarray(self.H), jnp.float32)
+        kw = {"per": float(per)} if use_per_kw else {}
+
+        def step(noise_seed, decode_seed):
+            key = jax.random.PRNGKey(noise_seed)
+            errs = jax.random.bernoulli(key, per, (b, n))
+            syns = jnp.mod(errs.astype(jnp.float32) @ Hd.T, 2.0).astype(jnp.uint8)
+            out = decoder._decode_batch(syns, decode_seed, **kw)
+            err, conv, iters = out[0], out[1], out[2]
+            exact = jnp.all(err.astype(bool) == errs, axis=1)
+            synhat = jnp.mod(err.astype(jnp.float32) @ Hd.T, 2.0)
+            smatch = jnp.all(synhat == syns.astype(jnp.float32), axis=1)
+            return jnp.stack([
+                jnp.sum(~exact, dtype=jnp.int32),
+                jnp.sum(~smatch, dtype=jnp.int32),
+                jnp.sum(~conv, dtype=jnp.int32),
+                jnp.sum(iters, dtype=jnp.int32),
+            ])
+
+        return jax.jit(step)
+
     def run(self, *, trials_per_point: int, max_seconds: float | None = None):
         """Accumulate until every point has ``trials_per_point`` trials.
 
         Returns ``{per: summary_dict}``.  Safe to interrupt and re-run.
         """
         t_start = time.perf_counter()
+        # the fused step path calls decoders' _decode_batch directly,
+        # bypassing _call_decode's first-use persistent-cache hook
+        from .cache import ensure_default_cache
+
+        ensure_default_cache()
         if self.multihost is None:
             import jax
 
@@ -204,25 +344,104 @@ class FERSweep:
         shared_decoder = None  # one compiled program reused across noise
         # points when the decoder supports per-call prior overrides
         per_kw_ok = True
+        # batches in flight on the device: dispatch runs ahead of
+        # verification so host-side sampling/popcount work overlaps device
+        # decode; multihost stays synchronous (collective ordering)
+        depth = 1 if self.multihost else self.pipeline
+        stopping = False
         for per, pt in self.points.items():
             decoder = None
             per_kw = {}
-            while pt.trials < trials_per_point:
-                if max_seconds is not None:
-                    stop = time.perf_counter() - t_start > max_seconds
+            per_hash = int(per * 1e9) & 0x7FFFFFFF
+            fused = None  # jitted decode+verify step (dense H, traceable
+            # decoders); falls back to separate dispatches on trace failure
+            fused_ok = not hasattr(self.H, "tocsr")
+            dev_steps: dict = {}  # batch size -> fully device-resident step
+            dev_ok = fused_ok and self.sample_on_device
+            inflight: list = []  # (kind, payload, b_local, b_global)
+            inflight_trials = 0
+            step_cursor = pt.steps  # dispatch stream index; pt.steps counts
+            # finalized batches, so a crash re-runs in-flight batches on
+            # their exact original streams
+            mark = time.perf_counter()
+
+            def finalize_one():
+                nonlocal inflight_trials, mark
+                kind, payload, b_local, b_global = inflight.pop(0)
+                if b_local > 0 and kind == "dev":
+                    v = np.asarray(payload)  # one [4] fetch
+                    counts = {
+                        "trials": b_local,
+                        "exact_failures": int(v[0]),
+                        "syndrome_mismatches": int(v[1]),
+                        "non_converged": int(v[2]),
+                        "total_iters": int(v[3]),
+                    }
+                elif b_local > 0:
+                    handles, errs, syns = payload
+                    guesses, conv, iters, _aux = handles
+                    guesses = np.asarray(guesses)
+                    conv = np.asarray(conv)
+                    iters = np.asarray(iters)
+                    exact, smatch = verify_decodes(self.H, errs, guesses, syns)
+                    counts = {
+                        "trials": b_local,
+                        "exact_failures": int(b_local - exact.sum()),
+                        "syndrome_mismatches": int(b_local - smatch.sum()),
+                        "non_converged": int(b_local - conv.sum()),
+                        "total_iters": int(iters.sum()),
+                    }
+                else:
+                    counts = {
+                        "trials": 0,
+                        "exact_failures": 0,
+                        "syndrome_mismatches": 0,
+                        "non_converged": 0,
+                        "total_iters": 0,
+                    }
+                if self.multihost:
+                    from .parallel.multihost import allreduce_counts, global_mesh
+
+                    counts = allreduce_counts(counts, global_mesh())
+                pt.trials += counts["trials"]
+                pt.steps += 1
+                pt.exact_failures += counts["exact_failures"]
+                pt.syndrome_mismatches += counts["syndrome_mismatches"]
+                pt.non_converged += counts["non_converged"]
+                pt.total_iters += counts["total_iters"]
+                now = time.perf_counter()
+                pt.wall_seconds += now - mark
+                mark = now
+                inflight_trials -= b_global
+                self._save_checkpoint()
+
+            while pt.trials + inflight_trials < trials_per_point or inflight:
+                if stopping and not inflight:
+                    break
+                want_more = (
+                    not stopping
+                    and pt.trials + inflight_trials < trials_per_point
+                )
+                if want_more and max_seconds is not None:
+                    over = time.perf_counter() - t_start > max_seconds
                     if self.multihost:
                         # collective vote: local clocks diverge across
                         # processes, and a one-sided return would leave the
                         # survivors hanging in the next allgather
                         from .parallel.multihost import allreduce_counts, global_mesh
 
-                        stop = (
-                            allreduce_counts({"stop": int(stop)}, global_mesh())["stop"]
+                        over = (
+                            allreduce_counts({"stop": int(over)}, global_mesh())["stop"]
                             > 0
                         )
-                    if stop:
-                        self._save_checkpoint()
-                        return self.summaries()
+                    if over:
+                        stopping = True
+                        want_more = False
+                if stopping and not inflight:
+                    break
+                if not want_more or len(inflight) >= depth:
+                    finalize_one()
+                    continue
                 if decoder is None:
                     if shared_decoder is not None and per_kw_ok:
                         decoder = shared_decoder
@@ -237,9 +456,8 @@ class FERSweep:
                 # each batch consumes its own counted stream; tracking the
                 # step explicitly (not trials // batch) keeps resumed runs
                 # on fresh streams even after a partial final batch
-                step = pt.steps
-                per_hash = int(per * 1e9) & 0x7FFFFFFF
-                b = min(self.batch, trials_per_point - pt.trials)
+                step = step_cursor
+                b = min(self.batch, trials_per_point - pt.trials - inflight_trials)
                 if self.multihost:
                     import jax
 
@@ -259,54 +477,74 @@ class FERSweep:
                         (self.seed, per_hash, step, pid, 0xDEC0DE)
                     ).integers(1 << 31)
                 )
-                t0 = time.perf_counter()
                 if b_local > 0:
-                    errs = sample_errors(rng, b_local, n, per)
-                    syns = syndromes_of(self.H, errs)
-                    try:
-                        guesses, conv, iters, aux, _ = decoder.batch_decode_detailed(
-                            syns, seed=decode_seed, **per_kw
+                    rec = None
+                    if dev_ok:
+                        noise_seed = int(
+                            np.random.default_rng(
+                                (self.seed, per_hash, step, pid, 0x5A3D)
+                            ).integers(1 << 31)
                         )
-                    except ValueError:
-                        if not per_kw:
-                            raise
-                        # decoder kind doesn't support prior overrides: fall
-                        # back to one decoder per noise point
-                        per_kw_ok = False
-                        per_kw = {}
-                        decoder = self.decoder_factory(per)
-                        guesses, conv, iters, aux, _ = decoder.batch_decode_detailed(
-                            syns, seed=decode_seed
-                        )
-                    exact, smatch = verify_decodes(self.H, errs, guesses, syns)
-                    counts = {
-                        "trials": b_local,
-                        "exact_failures": int(b_local - exact.sum()),
-                        "syndrome_mismatches": int(b_local - smatch.sum()),
-                        "non_converged": int(b_local - conv.sum()),
-                        "total_iters": int(iters.sum()),
-                    }
+                        if b_local not in dev_steps:
+                            dev_steps[b_local] = self._make_device_step(
+                                decoder, per, bool(per_kw), b_local
+                            )
+                        try:
+                            rec = ("dev", dev_steps[b_local](
+                                noise_seed, decode_seed
+                            ))
+                        except Exception:
+                            dev_ok = False
+                    if rec is None:
+                        errs = sample_errors(rng, b_local, n, per)
+                        syns = syndromes_of(self.H, errs)
+                    if rec is None and fused_ok:
+                        if fused is None:
+                            fused = self._make_fused_step(
+                                decoder, per, bool(per_kw)
+                            )
+                        try:
+                            rec = ("dev", fused(
+                                syns, errs.astype(np.int8), decode_seed
+                            ))
+                        except Exception:
+                            # untraceable decoder (host-side orchestration)
+                            # or per-override rejection: use the eager path
+                            fused_ok = False
+                            fused = None
+                    if rec is None:
+                        try:
+                            handles = decoder.batch_decode_detailed_async(
+                                syns, seed=decode_seed, **per_kw
+                            )
+                        except ValueError:
+                            if not per_kw:
+                                raise
+                            # decoder kind doesn't support prior overrides:
+                            # fall back to one decoder per noise point
+                            per_kw_ok = False
+                            per_kw = {}
+                            decoder = self.decoder_factory(per)
+                            handles = decoder.batch_decode_detailed_async(
+                                syns, seed=decode_seed
+                            )
+                        if not hasattr(self.H, "tocsr"):
+                            # dense H: reduce the counts on device; only a
+                            # [4] vector crosses back (see _device_verify)
+                            rec = ("dev", self._device_verify()(
+                                handles[0], errs.astype(np.int8), syns,
+                                handles[1], handles[2],
+                            ))
+                        else:
+                            rec = ("host", (handles, errs, syns))
                 else:
-                    counts = {
-                        "trials": 0,
-                        "exact_failures": 0,
-                        "syndrome_mismatches": 0,
-                        "non_converged": 0,
-                        "total_iters": 0,
-                    }
-                dt = time.perf_counter() - t0
-                if self.multihost:
-                    from .parallel.multihost import allreduce_counts, global_mesh
-
-                    counts = allreduce_counts(counts, global_mesh())
-                pt.trials += counts["trials"]
-                pt.steps += 1
-                pt.exact_failures += counts["exact_failures"]
-                pt.syndrome_mismatches += counts["syndrome_mismatches"]
-                pt.non_converged += counts["non_converged"]
-                pt.total_iters += counts["total_iters"]
-                pt.wall_seconds += dt
+                    rec = ("host", None)
+                inflight.append((*rec, b_local, b))
+                inflight_trials += b
+                step_cursor += 1
+            if stopping:
                 self._save_checkpoint()
+                return self.summaries()
         return self.summaries()
 
     def summaries(self) -> dict:

@@ -136,6 +136,24 @@ class Decoder:
         errors, converged, _, _ = self._call_decode(syndromes, seed, per)
         return errors, converged
 
+    def batch_decode_detailed_async(self, syndromes, *, seed: int = 0, per=None):
+        """Dispatch a detailed batch decode WITHOUT host synchronization.
+
+        Returns ``(errors, converged, iters, aux)`` as device arrays
+        immediately (reading them blocks) — the async analog of
+        :meth:`batch_decode_detailed`, used by the FER sweep harness to
+        overlap host-side noise sampling and verification of one batch
+        with the device decode of the next.  Argument validation errors
+        (shape, unsupported ``per`` override) still raise eagerly.
+        """
+        if not hasattr(syndromes, "ndim"):
+            syndromes = np.asarray(syndromes)
+        if syndromes.ndim != 2 or syndromes.shape[1] != self.m:
+            raise ValueError(
+                f"expected syndromes of shape [B, {self.m}], got {syndromes.shape}"
+            )
+        return self._call_decode(syndromes, seed, per)
+
     def batch_decode_detailed(self, syndromes, *, seed: int = 0, per=None):
         """Like :meth:`batch_decode` but also returns iteration counts,
         decoder-specific auxiliary output, and :class:`DecodeStats`."""

@@ -55,6 +55,98 @@ def test_fer_sweep_runs(tmp_path):
     assert out[0.005]["ler"] <= out[0.02]["ler"] + 0.05
 
 
+def test_fer_sweep_pipelined_matches_sync():
+    """pipeline=N must reproduce the synchronous loop's counts exactly:
+    streams derive from the step index alone and batches finalize in
+    dispatch order."""
+    H = lt.parity_check_matrix(120, 6, 3, rng=7)
+    factory = lambda per: lt.MinSumDecoder(H, per, 30)
+    outs = []
+    for depth in (1, 4):
+        sweep = FERSweep(H, factory, pers=[0.01, 0.04], batch=16, seed=11,
+                         multihost=False, pipeline=depth)
+        # 40 trials with batch=16 exercises a partial final batch in flight
+        outs.append(sweep.run(trials_per_point=40))
+    for per in (0.01, 0.04):
+        a, b = outs[0][per], outs[1][per]
+        for k in ("trials", "ler", "syndrome_match_rate",
+                  "converged_fraction", "mean_iters"):
+            assert a[k] == b[k], (per, k)
+
+
+def test_fer_sweep_pipelined_max_seconds_drains(tmp_path):
+    """A max_seconds stop mid-pipeline must drain in-flight batches into
+    the checkpoint (no lost or double-counted trials on resume)."""
+    H = lt.parity_check_matrix(120, 6, 3, rng=8)
+    factory = lambda per: lt.MinSumDecoder(H, per, 30)
+    ck = str(tmp_path / "ck.json")
+    sweep = FERSweep(H, factory, pers=[0.02], batch=16, seed=12,
+                     checkpoint_path=ck, multihost=False, pipeline=4)
+    sweep.run(trials_per_point=64, max_seconds=0.0)  # stops at first check
+    resumed = FERSweep(H, factory, pers=[0.02], batch=16, seed=12,
+                       checkpoint_path=ck, multihost=False, pipeline=4)
+    done_before = resumed.points[0.02].trials
+    assert done_before % 16 == 0  # whole batches only
+    out = resumed.run(trials_per_point=64)
+    full = FERSweep(H, factory, pers=[0.02], batch=16, seed=12,
+                    multihost=False, pipeline=1).run(trials_per_point=64)
+    assert out[0.02]["trials"] == 64
+    assert out[0.02]["ler"] == full[0.02]["ler"]
+
+
+def test_fer_sweep_sample_on_device(tmp_path):
+    """Device-resident sampling: reproducible across runs and resume, and
+    statistically consistent with the host-sampled sweep."""
+    H = lt.parity_check_matrix(120, 6, 3, rng=17)
+    factory = lambda per: lt.MinSumDecoder(H, per, 30)
+
+    a = FERSweep(H, factory, pers=[0.04], batch=32, seed=21, multihost=False,
+                 sample_on_device=True).run(trials_per_point=96)
+    b = FERSweep(H, factory, pers=[0.04], batch=32, seed=21, multihost=False,
+                 sample_on_device=True).run(trials_per_point=96)
+    assert a[0.04]["ler"] == b[0.04]["ler"]  # same counted streams
+
+    # resume mid-sweep reproduces the uninterrupted run exactly
+    ck = str(tmp_path / "ck.json")
+    part = FERSweep(H, factory, pers=[0.04], batch=32, seed=21,
+                    multihost=False, sample_on_device=True, checkpoint_path=ck)
+    part.run(trials_per_point=32)
+    resumed = FERSweep(H, factory, pers=[0.04], batch=32, seed=21,
+                       multihost=False, sample_on_device=True,
+                       checkpoint_path=ck)
+    out = resumed.run(trials_per_point=96)
+    assert out[0.04]["ler"] == a[0.04]["ler"]
+
+    # switching sampling modes against an existing checkpoint must raise
+    with pytest.raises(ValueError, match="sampling mode"):
+        FERSweep(H, factory, pers=[0.04], batch=32, seed=21,
+                 multihost=False, sample_on_device=False, checkpoint_path=ck)
+
+    # statistically consistent with host sampling (same physics)
+    host = FERSweep(H, factory, pers=[0.04], batch=32, seed=21,
+                    multihost=False).run(trials_per_point=96)
+    assert abs(host[0.04]["ler"] - a[0.04]["ler"]) < 0.25
+
+
+def test_fer_sweep_fused_fallback_decoders():
+    """Decoders that cannot trace into the fused device step (OSD's
+    host-side lane compaction) or reject per overrides (bit-flip) must
+    fall back transparently and still produce correct counts."""
+    H = lt.parity_check_matrix(120, 6, 3, rng=13)
+    osd = FERSweep(
+        H, lambda per: lt.BeliefPropagationOSDDecoder(H, per, 20),
+        pers=[0.03], batch=16, seed=4, multihost=False, pipeline=4,
+    ).run(trials_per_point=32)[0.03]
+    assert osd["trials"] == 32
+    assert osd["syndrome_match_rate"] == 1.0  # OSD guarantee survives
+    bf = FERSweep(
+        H, lambda per: lt.BitFlipDecoder(H, per, 20),
+        pers=[0.01], batch=16, seed=4, multihost=False, pipeline=4,
+    ).run(trials_per_point=32)[0.01]
+    assert bf["trials"] == 32
+    assert 0.0 <= bf["ler"] <= 1.0
+
+
 def test_fer_sweep_resume_matches_uninterrupted(tmp_path):
     H = lt.parity_check_matrix(120, 6, 3, rng=4)
     factory = lambda per: lt.BeliefPropagationDecoder(H, per, 30)
