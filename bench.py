@@ -136,6 +136,29 @@ def main():
     except Exception as e:  # pragma: no cover - diagnostic only
         qc_extra = {"qc_layered_fused_error": repr(e)[:200]}
 
+    # end-to-end FER sweep throughput: the fully device-resident
+    # evaluation pipeline (sample -> syndrome -> decode -> count on
+    # device, one [4] fetch per batch) through the public harness
+    sweep_extra = {}
+    try:
+        from ldpcdecoders_tpu.harness import FERSweep
+
+        SB = 16384
+        sweep = FERSweep(
+            H, lambda p: lt.MinSumDecoder(H, p, 60), [0.02], batch=SB,
+            seed=3, multihost=False, sample_on_device=True, pipeline=4,
+        )
+        sweep.run(trials_per_point=SB)  # warm the compiled step
+        t0 = time.perf_counter()
+        out = sweep.run(trials_per_point=9 * SB)
+        dt = time.perf_counter() - t0
+        sweep_extra = {
+            "fer_sweep_syndromes_per_s_device_resident": round(8 * SB / dt, 1),
+            "fer_sweep_converged_fraction": out[0.02]["converged_fraction"],
+        }
+    except Exception as e:  # pragma: no cover - diagnostic only
+        sweep_extra = {"fer_sweep_error": repr(e)[:200]}
+
     target = 1e7  # BASELINE.json north-star: edge-iterations/s/chip
     result = {
         "metric": "bp_edge_iterations_per_s_per_chip",
@@ -152,6 +175,7 @@ def main():
             "decoded_syndromes_per_s_minsum_int8": round(B / dt_qr, 1),
             "decoded_syndromes_per_s_bposd_fused_pipelined": round(bposd_pipelined, 1),
             **qc_extra,
+            **sweep_extra,
             "converged_fraction_real": conv_bpr,
             "batch": B,
             "iters_executed": it_bp,
