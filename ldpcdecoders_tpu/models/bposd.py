@@ -33,9 +33,56 @@ from ..codes.graph import TannerGraph
 from ..ops.gf2 import gf2_osd0, gf2_osdw, osdw_sweep, pack_bits
 from .base import Decoder
 from .bp import make_bp_decode_fn
-from .priors import next_pow2
+from .priors import next_pow2, per_to_llr
 
 __all__ = ["BeliefPropagationOSDDecoder", "make_fused_bposd_fn"]
+
+
+def _make_inner(graph: TannerGraph, per: float, max_iters: int, inner):
+    """Resolve the OSD's inner soft-output decoder.
+
+    Returns ``(decode_fn, prior_fn)`` where ``decode_fn(syndromes, prior)
+    -> (err, converged, iters, soft)`` and ``soft`` ranks column
+    reliability — BP's log probability ratios and the min-sum family's
+    LLRs are the same quantity (log(p0/p1)), so the reference's
+    reliability sort (belief_propagation_osd.jl:53-55) applies to either.
+    ``prior_fn(per)`` builds the per-override argument in the inner
+    decoder's native prior domain (probability ratio for BP, LLR for
+    min-sum).
+
+    ``inner`` may be ``"sumproduct"`` (default, reference semantics),
+    ``"minsum"``, or a constructed min-sum-family :class:`Decoder` on the
+    same code — e.g. a trained :class:`~..models.neural.NeuralMinSumDecoder`,
+    which turns this into neural-BP+OSD.
+    """
+    if inner is None or inner == "sumproduct":
+        return make_bp_decode_fn(graph, per, max_iters), _prior_fn_for(graph, inner)
+    if inner == "minsum":
+        from .minsum import make_minsum_decode_fn
+
+        return make_minsum_decode_fn(graph, per, max_iters), _prior_fn_for(graph, inner)
+    fn = getattr(inner, "_decode_fn", None)
+    inner_graph = getattr(inner, "graph", None)
+    if fn is None or inner_graph is None:
+        raise TypeError(
+            "inner must be 'sumproduct', 'minsum', or a min-sum-family "
+            f"Decoder instance (MinSumDecoder / NeuralMinSumDecoder), got {inner!r}"
+        )
+    if (inner_graph.m, inner_graph.n) != (graph.m, graph.n):
+        raise ValueError(
+            f"inner decoder is built on an [{inner_graph.m}, {inner_graph.n}] "
+            f"code; this OSD wraps [{graph.m}, {graph.n}]"
+        )
+    return fn, _prior_fn_for(graph, inner)
+
+
+def _prior_fn_for(graph: TannerGraph, inner):
+    """Per-override prior builder in the inner decoder's native domain."""
+    if inner is None or inner == "sumproduct":
+        from .bp import _as_ratio
+
+        return lambda p: _as_ratio(p, graph.n, jnp.float32)
+    return lambda p: jnp.asarray(per_to_llr(p, graph.n), jnp.float32)
 
 
 def _gf2_rank(H: np.ndarray) -> int:
@@ -166,6 +213,7 @@ def make_fused_bposd_fn(
     *,
     use_pallas: bool = False,
     osd_scope: str = "all",
+    inner=None,
 ):
     """Build ONE jittable program: BP + ``lax.cond``-gated OSD post-processing.
 
@@ -185,7 +233,7 @@ def make_fused_bposd_fn(
     rates; prefer the default compacting path for throughput at noise
     levels where failures are routine.
     """
-    bp_fn = make_bp_decode_fn(graph, per, max_iters)
+    bp_fn, _ = _make_inner(graph, per, max_iters, inner)
     osd0_batch, osdw_batch = make_osd_fns(graph, osd_order, use_pallas=use_pallas)
 
     if osd_order > 0 and osd_scope == "all":
@@ -246,6 +294,13 @@ class BeliefPropagationOSDDecoder(Decoder):
         converged lanes — near-OSD-0 throughput when BP mostly
         converges, at the cost of the weight-minimization refinement
         on converged lanes.
+      inner: the soft-output decoder whose LLRs rank the OSD column
+        reliabilities.  ``"sumproduct"`` (default — reference
+        semantics, belief_propagation_osd.jl:49-61), ``"minsum"``, or a
+        constructed min-sum-family decoder on the same code — passing a
+        trained :class:`~ldpcdecoders_tpu.NeuralMinSumDecoder` gives
+        neural-BP+OSD, the strongest decoder family here for quantum
+        LDPC codes (benchmarks/neural_bicycle.py).
 
     Example:
 
@@ -267,6 +322,7 @@ class BeliefPropagationOSDDecoder(Decoder):
         use_pallas: bool | None = None,
         fused: bool = False,
         osd_scope: str = "all",
+        inner=None,
     ):
         if osd_scope not in ("all", "failed"):
             raise ValueError("osd_scope must be 'all' or 'failed'")
@@ -295,6 +351,7 @@ class BeliefPropagationOSDDecoder(Decoder):
         self.use_pallas = bool(use_pallas)
         self.fused = bool(fused)
         self.osd_scope = osd_scope
+        self.inner = inner
         if self.fused:
             self._fused_fn = jax.jit(
                 make_fused_bposd_fn(
@@ -304,12 +361,15 @@ class BeliefPropagationOSDDecoder(Decoder):
                     self.osd_order,
                     use_pallas=self.use_pallas,
                     osd_scope=self.osd_scope,
+                    inner=inner,
                 )
             )
+            self._prior_fn = _prior_fn_for(self.graph, inner)
         else:
-            self._bp_fn = jax.jit(
-                make_bp_decode_fn(self.graph, self.per, self.max_iters)
+            inner_fn, self._prior_fn = _make_inner(
+                self.graph, self.per, self.max_iters, inner
             )
+            self._bp_fn = jax.jit(inner_fn)
             osd0, osdw = make_osd_fns(
                 self.graph, self.osd_order, use_pallas=self.use_pallas
             )
@@ -319,9 +379,7 @@ class BeliefPropagationOSDDecoder(Decoder):
         syn = jnp.asarray(syndromes)
         ratio = None
         if per is not None:
-            from .bp import _as_ratio
-
-            ratio = _as_ratio(per, self.n, jnp.float32)
+            ratio = self._prior_fn(per)
         if self.fused:
             errs, converged, iters, logp = self._fused_fn(syn, ratio)
             return errs, converged, iters, {"log_probabs": logp}

@@ -174,3 +174,39 @@ def test_osd_scope_failed(code, fused):
 def test_osd_scope_validation(code):
     with pytest.raises(ValueError, match="osd_scope"):
         lt.BeliefPropagationOSDDecoder(code, 0.1, 10, osd_scope="bogus")
+
+
+@pytest.mark.parametrize("fused", [False, True])
+def test_inner_minsum_syndrome_consistent(code, fused):
+    """OSD over a min-sum inner decoder: output stays syndrome-consistent
+    and the per-override path converts to the LLR prior domain."""
+    H = code
+    rng = np.random.default_rng(31)
+    B = 16
+    errs = rng.random((B, H.shape[1])) < 0.06
+    syns = (errs @ H.T) % 2
+    dec = lt.BeliefPropagationOSDDecoder(H, 0.06, 15, inner="minsum", fused=fused)
+    g, conv = dec.batch_decode(syns)
+    assert (((g.astype(int) @ H.T) % 2) == syns).all()
+    g2, _ = dec.batch_decode(syns, per=0.1)
+    assert (((g2.astype(int) @ H.T) % 2) == syns).all()
+
+
+def test_inner_decoder_instance_and_validation(code):
+    """A constructed min-sum-family decoder (the neural-BP+OSD path)
+    plugs in as the OSD inner; graph mismatch and junk are rejected."""
+    from ldpcdecoders_tpu.models.neural import NeuralMinSumDecoder
+
+    H = code
+    nd = NeuralMinSumDecoder(H, 0.06, 10)
+    dec = lt.BeliefPropagationOSDDecoder(H, 0.06, 10, osd_order=1, inner=nd)
+    rng = np.random.default_rng(32)
+    errs = rng.random((8, H.shape[1])) < 0.06
+    syns = (errs @ H.T) % 2
+    g, _ = dec.batch_decode(syns)
+    assert (((g.astype(int) @ H.T) % 2) == syns).all()
+    other = lt.parity_check_matrix(60, 6, 3, rng=0)
+    with pytest.raises(ValueError, match="inner decoder"):
+        lt.BeliefPropagationOSDDecoder(other, 0.06, 10, inner=nd)
+    with pytest.raises(TypeError, match="inner must be"):
+        lt.BeliefPropagationOSDDecoder(H, 0.06, 10, inner="bogus")
