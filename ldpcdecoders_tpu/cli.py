@@ -57,7 +57,7 @@ def _build_code(spec: str):
     raise SystemExit(f"unknown code spec '{spec}'")
 
 
-def _decoder_factory(name: str, H, max_iters: int, osd_order: int, T: int, C: float, fused: bool = False, osd_scope: str = 'all', qc=None, schedule: str = 'flooding', schedule_file=None):
+def _decoder_factory(name: str, H, max_iters: int, osd_order: int, T: int, C: float, fused: bool = False, osd_scope: str = 'all', qc=None, schedule: str = 'flooding', schedule_file=None, osd_method: str = 'exhaustive'):
     import ldpcdecoders_tpu as lt
     from ldpcdecoders_tpu.config import DecoderConfig
 
@@ -65,7 +65,7 @@ def _decoder_factory(name: str, H, max_iters: int, osd_order: int, T: int, C: fl
         "bp": lambda per: lt.BeliefPropagationDecoder(H, per, max_iters),
         "bposd": lambda per: lt.BeliefPropagationOSDDecoder(
             H, per, max_iters, osd_order=osd_order, fused=fused,
-            osd_scope=osd_scope,
+            osd_scope=osd_scope, osd_method=osd_method,
         ),
         "bitflip": lambda per: lt.BitFlipDecoder(H, per, max_iters),
         "bpots": lambda per: lt.BPOTSDecoder(H, per, max_iters, T=T, C=C),
@@ -104,6 +104,10 @@ def main(argv=None):
     common.add_argument("--osd-scope", default="all", choices=("all", "failed"),
                         help="bposd: run OSD-w on all lanes (reference) or "
                         "failing lanes only (throughput deviation)")
+    common.add_argument("--osd-method", default="exhaustive",
+                        choices=("exhaustive", "combination_sweep"),
+                        help="bposd: reference 2^w sweep, or OSD-CS "
+                        "(singles + pairs within --osd-order columns)")
     common.add_argument("--schedule-file", default=None,
                         help="npz schedule from `train` (neural_minsum)")
     common.add_argument("--schedule", default="flooding",
@@ -190,7 +194,7 @@ def main(argv=None):
             "train_seconds": round(time.perf_counter() - t0, 2),
         }))
         return 0
-    factory = _decoder_factory(a.decoder, H, a.max_iters, a.osd_order, a.T, a.C, a.fused, a.osd_scope, qc=qc, schedule=a.schedule, schedule_file=a.schedule_file)
+    factory = _decoder_factory(a.decoder, H, a.max_iters, a.osd_order, a.T, a.C, a.fused, a.osd_scope, qc=qc, schedule=a.schedule, schedule_file=a.schedule_file, osd_method=a.osd_method)
 
     with trace(a.profile):
         if a.cmd == "sweep" and a.erasure_rates:

@@ -57,6 +57,9 @@ class DecoderConfig:
     #: BP+OSD only: "all" (reference semantics) or "failed" (OSD-w on
     #: failing lanes only — throughput deviation)
     osd_scope: str = "all"
+    #: BP+OSD only: "exhaustive" (reference 2^w sweep) or
+    #: "combination_sweep" (OSD-CS: singles + pairs within osd_order)
+    osd_method: str = "exhaustive"
     #: qc_minsum only: 'auto' (fused Pallas kernel on TPU, XLA edge-list
     #: elsewhere), 'pallas', or 'xla'
     backend: str = "auto"
@@ -108,6 +111,7 @@ class DecoderConfig:
             return lt.BeliefPropagationOSDDecoder(
                 H, self.per, self.max_iters, osd_order=self.osd_order,
                 fused=self.fused, osd_scope=self.osd_scope,
+                osd_method=self.osd_method,
                 use_pallas=self.use_pallas,
             )
         if k == "bitflip":

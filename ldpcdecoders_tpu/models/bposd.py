@@ -114,7 +114,13 @@ def _gf2_rank(H: np.ndarray) -> int:
     return rank
 
 
-def make_osd_fns(graph: TannerGraph, osd_order: int, *, use_pallas: bool = False):
+def make_osd_fns(
+    graph: TannerGraph,
+    osd_order: int,
+    *,
+    use_pallas: bool = False,
+    osd_method: str = "exhaustive",
+):
     """Build jitted batched OSD-0 / OSD-w post-processors.
 
     Each takes ``(syndromes [B,m], bp_err [B,n], log_probabs [B,n])`` in
@@ -123,6 +129,11 @@ def make_osd_fns(graph: TannerGraph, osd_order: int, *, use_pallas: bool = False
     With ``use_pallas=True`` the OSD-w Gauss–Jordan elimination runs in
     the VMEM-resident Pallas kernel (ops/pallas_gf2.py) instead of the
     XLA ``while_loop`` — identical outputs, far less HBM traffic.
+
+    ``osd_method="combination_sweep"`` replaces the exhaustive 2^w
+    candidate sweep with OSD-CS (ops/gf2.py::osd_cs_sweep): all single
+    flips over the non-pivot set plus pair flips within the first
+    ``osd_order`` columns — far deeper search at near-flat cost.
     """
     H_cols = jnp.asarray(graph.require_H().T.astype(np.uint32))  # [n, m] for column gather
     n, m = graph.n, graph.m
@@ -168,9 +179,26 @@ def make_osd_fns(graph: TannerGraph, osd_order: int, *, use_pallas: bool = False
         corr = gf2_osd0(Hp, bp_sorted, resid, n)
         return unsort(perm, corr)
 
+    if osd_method not in ("exhaustive", "combination_sweep"):
+        raise ValueError(
+            f"osd_method must be 'exhaustive' or 'combination_sweep', got {osd_method!r}"
+        )
+    if osd_method == "combination_sweep":
+        from ..ops.gf2 import gf2_osd_cs, osd_cs_sweep
+
+        sweep_full = lambda Hp, be, syn: gf2_osd_cs(Hp, be, syn, osd_order, n)  # noqa: E731
+        sweep_rref = lambda ht, sv, pv, rv, be: osd_cs_sweep(  # noqa: E731
+            ht, sv, pv, rv, be, osd_order, n
+        )
+    else:
+        sweep_full = lambda Hp, be, syn: gf2_osdw(Hp, be, syn, osd_order, n)  # noqa: E731
+        sweep_rref = lambda ht, sv, pv, rv, be: osdw_sweep(  # noqa: E731
+            ht, sv, pv, rv, be, osd_order, n
+        )
+
     def osdw_lane(syndrome, bp_err, logp):
         perm, Hp, bp_sorted = sort_and_pack(syndrome, bp_err, logp)
-        corr = gf2_osdw(Hp, bp_sorted, syndrome.astype(jnp.uint32), osd_order, n)
+        corr = sweep_full(Hp, bp_sorted, syndrome.astype(jnp.uint32))
         return unsort(perm, corr)
 
     def osdw_batch_pallas(syndromes, bp_errs, logps):
@@ -181,9 +209,7 @@ def make_osd_fns(graph: TannerGraph, osd_order: int, *, use_pallas: bool = False
             jnp.transpose(Hp, (0, 2, 1)), syndromes.astype(jnp.uint32), n
         )
         r = jnp.sum((piv != n).astype(jnp.int32), axis=1)
-        corr = jax.vmap(
-            lambda ht, sv, pv, rv, be: osdw_sweep(ht, sv, pv, rv, be, osd_order, n)
-        )(Ht2, s2, piv, r, bp_sorted)
+        corr = jax.vmap(sweep_rref)(Ht2, s2, piv, r, bp_sorted)
         return jax.vmap(unsort)(perm, corr)
 
     def osd0_batch_pallas(syndromes, bp_errs, logps):
@@ -214,6 +240,7 @@ def make_fused_bposd_fn(
     use_pallas: bool = False,
     osd_scope: str = "all",
     inner=None,
+    osd_method: str = "exhaustive",
 ):
     """Build ONE jittable program: BP + ``lax.cond``-gated OSD post-processing.
 
@@ -234,7 +261,9 @@ def make_fused_bposd_fn(
     levels where failures are routine.
     """
     bp_fn, _ = _make_inner(graph, per, max_iters, inner)
-    osd0_batch, osdw_batch = make_osd_fns(graph, osd_order, use_pallas=use_pallas)
+    osd0_batch, osdw_batch = make_osd_fns(
+        graph, osd_order, use_pallas=use_pallas, osd_method=osd_method
+    )
 
     if osd_order > 0 and osd_scope == "all":
 
@@ -294,6 +323,15 @@ class BeliefPropagationOSDDecoder(Decoder):
         converged lanes — near-OSD-0 throughput when BP mostly
         converges, at the cost of the weight-minimization refinement
         on converged lanes.
+      osd_method: ``"exhaustive"`` (default — the reference's 2^w sweep,
+        belief_propagation_osd.jl:184-206) or ``"combination_sweep"``
+        (OSD-CS, Roffe et al. 2020): with osd_order = lambda, search the
+        base completion, every single non-pivot flip, and all pair flips
+        within the first lambda most-reliable non-pivot columns —
+        ``1 + (n-r) + lambda*(lambda-1)/2`` candidates, so lambda=60
+        searches deeper than exhaustive w=20 would at about the cost of
+        exhaustive w=4.  No rank clamp applies (out-of-range flips are
+        masked in the sweep).
       inner: the soft-output decoder whose LLRs rank the OSD column
         reliabilities.  ``"sumproduct"`` (default — reference
         semantics, belief_propagation_osd.jl:49-61), ``"minsum"``, or a
@@ -323,9 +361,15 @@ class BeliefPropagationOSDDecoder(Decoder):
         fused: bool = False,
         osd_scope: str = "all",
         inner=None,
+        osd_method: str = "exhaustive",
     ):
         if osd_scope not in ("all", "failed"):
             raise ValueError("osd_scope must be 'all' or 'failed'")
+        if osd_method not in ("exhaustive", "combination_sweep"):
+            raise ValueError(
+                "osd_method must be 'exhaustive' or 'combination_sweep', "
+                f"got {osd_method!r}"
+            )
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu", "gpu")
         self.graph = H if isinstance(H, TannerGraph) else TannerGraph.from_pcm(H)
@@ -334,7 +378,12 @@ class BeliefPropagationOSDDecoder(Decoder):
         self.max_iters = int(max_iters)
         if osd_order < 0:
             raise ValueError("osd_order must be >= 0")
-        if osd_order > 0:  # the rank computation is only needed for the clamp
+        if osd_order > 0 and osd_method == "combination_sweep":
+            # pair indices past the information set are masked inside the
+            # sweep, so lam needs no rank clamp — only a static bound on n
+            self.graph.require_H()
+            osd_order = min(osd_order, self.n)
+        elif osd_order > 0:  # the rank computation is only needed for the clamp
             max_order = self.n - _gf2_rank(self.graph.require_H())
             if osd_order > max_order:
                 # reference warns and clamps (belief_propagation_osd.jl:174-177)
@@ -352,6 +401,7 @@ class BeliefPropagationOSDDecoder(Decoder):
         self.fused = bool(fused)
         self.osd_scope = osd_scope
         self.inner = inner
+        self.osd_method = osd_method
         if self.fused:
             self._fused_fn = jax.jit(
                 make_fused_bposd_fn(
@@ -362,6 +412,7 @@ class BeliefPropagationOSDDecoder(Decoder):
                     use_pallas=self.use_pallas,
                     osd_scope=self.osd_scope,
                     inner=inner,
+                    osd_method=self.osd_method,
                 )
             )
             self._prior_fn = _prior_fn_for(self.graph, inner)
@@ -371,7 +422,10 @@ class BeliefPropagationOSDDecoder(Decoder):
             )
             self._bp_fn = jax.jit(inner_fn)
             osd0, osdw = make_osd_fns(
-                self.graph, self.osd_order, use_pallas=self.use_pallas
+                self.graph,
+                self.osd_order,
+                use_pallas=self.use_pallas,
+                osd_method=self.osd_method,
             )
             self._osd0_batch, self._osdw_batch = jax.jit(osd0), jax.jit(osdw)
 

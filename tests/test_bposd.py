@@ -210,3 +210,109 @@ def test_inner_decoder_instance_and_validation(code):
         lt.BeliefPropagationOSDDecoder(other, 0.06, 10, inner=nd)
     with pytest.raises(TypeError, match="inner must be"):
         lt.BeliefPropagationOSDDecoder(H, 0.06, 10, inner="bogus")
+
+
+def _brute_cs(H, syn, bp_err, lam):
+    """NumPy oracle for the OSD-CS candidate set and tie order."""
+    m, n = H.shape
+    A = H.copy().astype(np.uint8)
+    s = syn.copy().astype(np.uint8)
+    pivcol = []
+    used = np.zeros(m, bool)
+    for j in range(n):
+        cand = np.flatnonzero((A[:, j] == 1) & ~used)
+        if cand.size == 0:
+            continue
+        k = cand[0]
+        used[k] = True
+        pivcol.append((k, j))
+        elim = np.flatnonzero(A[:, j] == 1)
+        elim = elim[elim != k]
+        A[elim] ^= A[k]
+        s[elim] ^= s[k]
+        if used.all():
+            break
+    piv_rows = np.array([k for k, _ in pivcol], int)
+    piv_cols = np.array([j for _, j in pivcol], int)
+    nonpiv = np.array([j for j in range(n) if j not in set(piv_cols)], int)
+
+    def complete(freebits):
+        e = np.zeros(n, np.uint8)
+        e[nonpiv] = freebits
+        rhs = (s[piv_rows] + A[piv_rows][:, nonpiv] @ freebits) % 2
+        e[piv_cols] = rhs
+        return e
+
+    base = bp_err[nonpiv].copy()
+    cands = [base]
+    for j in range(len(nonpiv)):
+        f = base.copy()
+        f[j] ^= 1
+        cands.append(f)
+    L = min(lam, len(nonpiv))
+    for i in range(L):
+        for j in range(i + 1, L):
+            f = base.copy()
+            f[i] ^= 1
+            f[j] ^= 1
+            cands.append(f)
+    best = None
+    for f in cands:
+        e = complete(f.astype(np.uint8))
+        w = int(e.sum())
+        if best is None or w < best[0]:
+            best = (w, e)
+    return best[1]
+
+
+def test_osd_cs_matches_bruteforce_candidate_search():
+    """gf2_osd_cs returns the exact minimum-weight candidate (bit-for-bit
+    including tie order) of the documented single+pair flip set."""
+    import jax.numpy as jnp
+
+    from ldpcdecoders_tpu.ops.gf2 import gf2_osd_cs, pack_bits
+
+    rng = np.random.default_rng(7)
+    m, n = 8, 14  # one shape -> one jit compile
+    for trial in range(25):
+        H = (rng.random((m, n)) < 0.4).astype(np.uint8)
+        e_true = (rng.random(n) < 0.2).astype(np.uint8)
+        syn = (H @ e_true) % 2
+        bp_err = (rng.random(n) < 0.3).astype(np.uint8)
+        lam = int(rng.integers(0, 7))
+        Hp = np.asarray(pack_bits(jnp.asarray(H)))
+        got = np.asarray(
+            gf2_osd_cs(
+                jnp.asarray(Hp),
+                jnp.asarray(bp_err, jnp.uint32),
+                jnp.asarray(syn, jnp.uint32),
+                lam,
+                n,
+            )
+        ).astype(np.uint8)
+        want = _brute_cs(H, syn, bp_err, lam)
+        assert np.array_equal(got, want), (trial, lam)
+
+
+@pytest.mark.parametrize("fused", [False, True])
+def test_osd_cs_decoder_consistent_and_no_worse(code, fused):
+    """combination_sweep output is syndrome-consistent and never heavier
+    than OSD-0 on the same lanes (the base completion is a candidate)."""
+    H = code
+    rng = np.random.default_rng(41)
+    B = 12
+    errs = rng.random((B, H.shape[1])) < 0.2
+    syns = (errs @ H.T) % 2
+    cs = lt.BeliefPropagationOSDDecoder(
+        H, 0.2, 20, osd_order=12, osd_method="combination_sweep", fused=fused
+    )
+    g, conv = cs.batch_decode(syns)
+    assert (((g.astype(int) @ H.T) % 2) == syns).all()
+    osd0 = lt.BeliefPropagationOSDDecoder(H, 0.2, 20, osd_order=0, fused=fused)
+    g0, _ = osd0.batch_decode(syns)
+    assert (g.astype(int).sum(axis=1) <= g0.astype(int).sum(axis=1)).all()
+
+
+def test_osd_method_validation(code):
+    with pytest.raises(ValueError, match="osd_method"):
+        lt.BeliefPropagationOSDDecoder(code, 0.1, 10, osd_method="bogus")
