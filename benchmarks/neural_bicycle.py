@@ -43,6 +43,13 @@ decoders = {
     "neural_edge": neural,
     "bposd0": lt.BeliefPropagationOSDDecoder(Hx, train_per, T),
     "neural_osd0": lt.BeliefPropagationOSDDecoder(Hx, train_per, T, inner=neural),
+    "bposd_w4": lt.BeliefPropagationOSDDecoder(Hx, train_per, T, osd_order=4),
+    "bposd_cs60": lt.BeliefPropagationOSDDecoder(
+        Hx, train_per, T, osd_order=60, osd_method="combination_sweep"
+    ),
+    "neural_cs60": lt.BeliefPropagationOSDDecoder(
+        Hx, train_per, T, osd_order=60, osd_method="combination_sweep", inner=neural
+    ),
 }
 B = 4096
 points = {}
