@@ -31,6 +31,9 @@ from .codes import (
     css_code_k,
     named_bicycle_code,
     BICYCLE_CODES,
+    spacetime_pcm,
+    spacetime_prior,
+    detectors_of,
 )
 from .models import (
     Decoder,
@@ -50,6 +53,7 @@ from .models import (
     ErasurePeelingDecoder,
     MixedChannelDecoder,
     NeuralMinSumDecoder,
+    SpaceTimeDecoder,
     decode_soft,
 )
 from . import parallel

@@ -14,6 +14,7 @@ from .bicycle import (
     named_bicycle_code,
     BICYCLE_CODES,
 )
+from .spacetime import spacetime_pcm, spacetime_prior, detectors_of
 from .css import (
     toric_code_x,
     toric_code_z,
@@ -48,6 +49,9 @@ __all__ = [
     "repetition_code",
     "cycle_matrix",
     "hamming_code",
+    "spacetime_pcm",
+    "spacetime_prior",
+    "detectors_of",
     "hypergraph_product",
     "hypergraph_product_edges",
 ]

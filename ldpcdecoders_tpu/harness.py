@@ -29,7 +29,7 @@ from .utils.noise import (
 )
 
 __all__ = ["FERSweep", "SweepPoint", "find_threshold", "css_logical_sweep",
-           "mixed_fer_sweep"]
+           "mixed_fer_sweep", "spacetime_logical_sweep"]
 
 
 @dataclasses.dataclass
@@ -854,5 +854,113 @@ def mixed_fer_sweep(
             "throughput_decodes_per_s": (
                 trials / st["wall_seconds"] if st["wall_seconds"] else 0.0
             ),
+        }
+    return out
+
+
+def spacetime_logical_sweep(
+    Hx,
+    Hz,
+    pers: Sequence[float],
+    *,
+    rounds: int,
+    trials_per_point: int,
+    meas_error_rate: float | None = None,
+    max_iters: int = 100,
+    decoder: str = "bposd",
+    batch: int = 256,
+    seed: int = 0,
+    **knobs,
+) -> dict:
+    """Phenomenological-noise logical-error sweep: ``rounds`` noisy
+    syndrome-measurement rounds per shot, decoded jointly over the
+    space-time detector graph (`models/spacetime.py::SpaceTimeDecoder`).
+
+    Per shot and per stabilizer block, every round injects fresh iid
+    data errors at rate ``per`` and flips each readout bit at rate
+    ``meas_error_rate`` (default: ``per`` — the standard ``p == q``
+    phenomenological convention); the final round is read out perfectly.
+    A lane counts as a logical failure when the residual between the
+    true cumulative error and the decoder's estimate is outside the
+    opposite block's stabilizer rowspan (same degeneracy-aware
+    accounting as :func:`css_logical_sweep`).  ``rounds=1`` reproduces
+    css_logical_sweep's perfect-measurement setting exactly.
+
+    RNG discipline matches FERSweep: each (point, batch) consumes its
+    own counted stream derived from ``(seed, per, step)``.
+
+    Returns ``{per: {"trials", "rounds", "z_logical_rate",
+    "x_logical_rate", "any_logical_rate", *_ci95, "z_converged",
+    "x_converged", "throughput_shots_per_s"}}``.
+    """
+    from .models.spacetime import SpaceTimeDecoder
+    from .utils.metrics import gf2_rowspan_reducer
+
+    R = int(rounds)
+    dec_x = SpaceTimeDecoder(Hx, R, float(pers[0]), max_iters,
+                             meas_error_rate=meas_error_rate,
+                             decoder=decoder, **knobs)
+    dec_z = SpaceTimeDecoder(Hz, R, float(pers[0]), max_iters,
+                             meas_error_rate=meas_error_rate,
+                             decoder=decoder, **knobs)
+    z_span = gf2_rowspan_reducer(Hz)  # Z residuals must be Z stabilizers
+    x_span = gf2_rowspan_reducer(Hx)
+    n = dec_x.n
+    out = {}
+    for per in pers:
+        q = float(per) if meas_error_rate is None else float(meas_error_rate)
+        per_hash = int(per * 1e9) & 0x7FFFFFFF
+        trials = zf = xf = anyf = zc = xc = 0
+        step = 0
+        t0 = time.perf_counter()
+        while trials < trials_per_point:
+            b = min(batch, trials_per_point - trials)
+            rng = np.random.default_rng((seed, per_hash, step))
+            decode_seed = int(np.random.default_rng(
+                (seed, per_hash, step, 0xDEC0DE)).integers(1 << 31))
+
+            def run(dec, H_det, span, s_off):
+                # fresh errors per round -> cumulative -> noisy syndromes
+                e = sample_errors(rng, b * R, n, per).reshape(b, R, n)
+                cum = (np.cumsum(e, axis=1) & 1).astype(np.uint8)
+                syn = np.stack([syndromes_of(H_det, cum[:, r]) for r in range(R)],
+                               axis=1)
+                u = sample_errors(rng, b * R, dec.m, q).reshape(b, R, dec.m)
+                u[:, -1] = 0  # perfect final readout
+                syn ^= u.astype(np.uint8)
+                from .codes.spacetime import detectors_of
+                det = detectors_of(syn)
+                e_hat, conv = dec.batch_decode(det, seed=decode_seed + s_off,
+                                               per=float(per), q=q)
+                resid = cum[:, -1] ^ np.asarray(e_hat).astype(np.uint8)
+                return ~span(resid), np.asarray(conv)
+
+            zfail, zconv = run(dec_x, Hx, z_span, 0)  # Hx detects Z errors
+            xfail, xconv = run(dec_z, Hz, x_span, 1)
+            trials += b
+            step += 1
+            zf += int(zfail.sum())
+            xf += int(xfail.sum())
+            anyf += int((zfail | xfail).sum())
+            zc += int(zconv.sum())
+            xc += int(xconv.sum())
+        dt = time.perf_counter() - t0
+        z_lo, z_hi = wilson_interval(zf, trials)
+        x_lo, x_hi = wilson_interval(xf, trials)
+        a_lo, a_hi = wilson_interval(anyf, trials)
+        out[per] = {
+            "per": float(per),
+            "meas_error_rate": q,
+            "rounds": R,
+            "trials": trials,
+            "z_logical_rate": zf / trials,
+            "z_logical_ci95": [z_lo, z_hi],
+            "x_logical_rate": xf / trials,
+            "x_logical_ci95": [x_lo, x_hi],
+            "any_logical_rate": anyf / trials,
+            "any_logical_ci95": [a_lo, a_hi],
+            "z_converged": zc / trials,
+            "x_converged": xc / trials,
+            "throughput_shots_per_s": trials / dt if dt else 0.0,
         }
     return out

@@ -12,6 +12,7 @@ from .qc_minsum import QCMinSumDecoder
 from .peeling import ErasurePeelingDecoder
 from .mixed import MixedChannelDecoder
 from .neural import NeuralMinSumDecoder
+from .spacetime import SpaceTimeDecoder
 
 __all__ = [
     "Decoder",
@@ -31,5 +32,6 @@ __all__ = [
     "ErasurePeelingDecoder",
     "MixedChannelDecoder",
     "NeuralMinSumDecoder",
+    "SpaceTimeDecoder",
     "decode_soft",
 ]

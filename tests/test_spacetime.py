@@ -1,0 +1,215 @@
+"""Space-time (multi-round, noisy-measurement) decoding tests.
+
+The reference has no measurement-error support (all decoders take one
+perfect syndrome), so the oracles here are structural identities plus
+coding-theory expectations:
+  * construction invariants of the detector matrix;
+  * rounds=1 == single-shot decoding, bit for bit;
+  * converged lanes reproduce their detector record exactly (hence the
+    final-round syndrome);
+  * phenomenological decoding beats measurement-blind decoding, and a
+    larger-distance code beats a smaller one below threshold.
+"""
+
+import numpy as np
+import pytest
+
+import ldpcdecoders_tpu as lt
+from ldpcdecoders_tpu.codes.spacetime import (
+    detectors_of,
+    spacetime_pcm,
+    spacetime_prior,
+)
+from ldpcdecoders_tpu.harness import spacetime_logical_sweep
+from ldpcdecoders_tpu.models.spacetime import SpaceTimeDecoder
+from ldpcdecoders_tpu.utils.noise import sample_errors, syndromes_of
+
+
+def _history(H, b, rounds, per, q, rng):
+    """Simulate b shots of `rounds` noisy measurement rounds; the last
+    round is read out perfectly.  Returns (syndromes [b,R,m], final
+    cumulative error [b,n])."""
+    m, n = H.shape
+    e = sample_errors(rng, b * rounds, n, per).reshape(b, rounds, n)
+    cum = (np.cumsum(e, axis=1) & 1).astype(np.uint8)
+    syn = np.stack([syndromes_of(H, cum[:, r]) for r in range(rounds)], axis=1)
+    u = sample_errors(rng, b * rounds, m, q).reshape(b, rounds, m)
+    u[:, -1] = 0
+    return (syn ^ u.astype(np.uint8)).astype(np.uint8), cum[:, -1]
+
+
+def test_spacetime_pcm_shape_and_blocks():
+    H = lt.toric_code_x(3)
+    m, n = H.shape
+    R = 4
+    A = spacetime_pcm(H, R)
+    assert A.shape == (R * m, R * n + (R - 1) * m)
+    Ad = np.asarray(A.todense())
+    # row block r: H at data block r, I at u_r (r<R) and u_{r-1} (r>1)
+    for r in range(1, R + 1):
+        rows = slice((r - 1) * m, r * m)
+        assert np.array_equal(Ad[rows, (r - 1) * n: r * n], np.asarray(H) & 1)
+        if r < R:
+            np.testing.assert_array_equal(
+                Ad[rows, R * n + (r - 1) * m: R * n + r * m], np.eye(m))
+        if r > 1:
+            np.testing.assert_array_equal(
+                Ad[rows, R * n + (r - 2) * m: R * n + (r - 1) * m], np.eye(m))
+    # open boundary adds the u_R block
+    Ao = spacetime_pcm(H, R, perfect_last=False)
+    assert Ao.shape == (R * m, R * n + R * m)
+
+
+def test_spacetime_prior_layout():
+    p = spacetime_prior(4, 2, 3, 0.01, 0.05)
+    assert p.shape == (3 * 4 + 2 * 2,)
+    assert np.all(p[:12] == 0.01) and np.all(p[12:] == 0.05)
+    # vector per-qubit / per-check rates tile per round
+    pv = spacetime_prior(2, 1, 2, [0.1, 0.2], [0.3])
+    np.testing.assert_allclose(pv, [0.1, 0.2, 0.1, 0.2, 0.3])
+
+
+def test_detectors_of_is_xor_difference():
+    rng = np.random.default_rng(0)
+    s = (rng.random((5, 4, 7)) < 0.5).astype(np.uint8)
+    d = detectors_of(s).reshape(5, 4, 7)
+    np.testing.assert_array_equal(d[:, 0], s[:, 0])
+    for r in range(1, 4):
+        np.testing.assert_array_equal(d[:, r], s[:, r] ^ s[:, r - 1])
+    # single shot [R, m]
+    d1 = detectors_of(s[0])
+    np.testing.assert_array_equal(d1, detectors_of(s)[0])
+
+
+def test_rounds_one_equals_single_shot():
+    """R=1 with a perfect last round IS the reference decoding problem."""
+    H = lt.parity_check_matrix(48, 6, 3, rng=5)
+    rng = np.random.default_rng(1)
+    errs = sample_errors(rng, 32, 48, 0.02)
+    syn = syndromes_of(H, errs)
+    st = SpaceTimeDecoder(H, 1, 0.02, max_iters=30, decoder="bposd")
+    plain = lt.BeliefPropagationOSDDecoder(H, 0.02, 30)
+    e1, c1 = st.batch_decode(syn, seed=3)
+    e2, c2 = plain.batch_decode(syn, seed=3, per=np.full(48, 0.02))
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+
+def test_converged_lanes_reproduce_detectors():
+    """A converged space-time solution satisfies A x = d, so the
+    cumulative estimate reproduces the final (perfect) syndrome."""
+    H = lt.toric_code_x(4)
+    rng = np.random.default_rng(7)
+    R, per, q = 3, 0.015, 0.015
+    syn, e_final = _history(H, 64, R, per, q, rng)
+    dec = SpaceTimeDecoder(H, R, per, max_iters=60, decoder="bposd")
+    e_hat, conv, data, meas = dec.batch_decode_detailed(detectors_of(syn))
+    # `conv` is the BP flag; OSD completion makes EVERY lane detector-
+    # consistent, and A x = d telescopes to H @ cum(x) == s_R
+    assert conv.mean() > 0.7
+    final_syn_hat = syndromes_of(H, np.asarray(e_hat))
+    np.testing.assert_array_equal(final_syn_hat, syn[:, -1])
+    assert data.shape == (64, R, H.shape[1])
+    assert meas.shape == (64, R - 1, H.shape[0])
+
+
+def test_decode_history_matches_batch_decode():
+    H = lt.toric_code_x(3)
+    rng = np.random.default_rng(9)
+    syn, _ = _history(H, 8, 3, 0.01, 0.01, rng)
+    dec = SpaceTimeDecoder(H, 3, 0.01, max_iters=40)
+    e1, c1 = dec.decode_history(syn, seed=2)
+    e2, c2 = dec.batch_decode(detectors_of(syn), seed=2)
+    np.testing.assert_array_equal(e1, e2)
+    np.testing.assert_array_equal(c1, c2)
+    # single-shot convenience
+    e3, c3 = dec.decode_history(syn[0], seed=2)
+    assert e3.shape == (H.shape[1],)
+    assert isinstance(c3, bool)
+
+
+def test_measurement_errors_attributed_to_measurement_columns():
+    """With data errors off, flipped readouts must be explained by the
+    measurement-error columns: the cumulative data estimate is empty."""
+    H = lt.toric_code_x(4)
+    m, n = H.shape
+    rng = np.random.default_rng(11)
+    R = 4
+    syn = np.zeros((32, R, m), np.uint8)
+    u = sample_errors(rng, 32 * R, m, 0.03).reshape(32, R, m)
+    u[:, -1] = 0
+    syn ^= u.astype(np.uint8)
+    dec = SpaceTimeDecoder(H, R, 1e-4, max_iters=60, meas_error_rate=0.03)
+    e_hat, conv = dec.batch_decode(detectors_of(syn))
+    assert conv.mean() > 0.95
+    # measurement-only histories decode to (almost always) no data error
+    assert (np.asarray(e_hat).sum(axis=1) == 0).mean() > 0.9
+
+
+def test_spacetime_beats_measurement_blind_decoding():
+    """Joint space-time decoding should fail logically far less often
+    than naively decoding the last noisy round as if it were perfect."""
+    Hx, Hz = lt.toric_code_x(3), lt.toric_code_z(3)
+    from ldpcdecoders_tpu.utils.metrics import gf2_rowspan_reducer
+
+    span = gf2_rowspan_reducer(Hz)
+    rng = np.random.default_rng(13)
+    R, per = 5, 0.02
+    B = 256
+    syn, e_final = _history(Hx, B, R, per, per, rng)
+    st = SpaceTimeDecoder(Hx, R, per, max_iters=60, decoder="bposd")
+    e_st, _ = st.batch_decode(detectors_of(syn))
+    blind = lt.BeliefPropagationOSDDecoder(Hx, per, 60)
+    # the blind decoder sees the *noisy* penultimate round (a real-time
+    # decoder cannot wait for the perfect closure round)
+    e_bl, _ = blind.batch_decode(syn[:, -2])
+    fail_st = int((~span(e_final ^ np.asarray(e_st, np.uint8))).sum())
+    fail_bl = int((~span(e_final ^ np.asarray(e_bl, np.uint8))).sum())
+    assert fail_st < fail_bl / 2, (fail_st, fail_bl)
+
+
+@pytest.mark.slow
+def test_spacetime_sweep_measurement_noise_ordering():
+    """More readout noise strictly hurts; q=0 approaches the perfect-
+    measurement rate.  (Distance ordering is NOT asserted: plain BP+OSD
+    on the toric code is degeneracy-limited and inverts d=3/d=5 even at
+    R=1 with perfect measurements — verified against css_logical_sweep —
+    so it would test the inner decoder's known weakness, not the
+    space-time construction.)"""
+    common = dict(rounds=3, trials_per_point=1024, max_iters=50,
+                  batch=256, seed=0)
+    rates = {}
+    for q in (0.0, 0.01, 0.04):
+        res = spacetime_logical_sweep(
+            lt.toric_code_x(3), lt.toric_code_z(3), [0.01],
+            meas_error_rate=q, **common)
+        rates[q] = res[0.01]["any_logical_rate"]
+        assert res[0.01]["trials"] == 1024
+        assert res[0.01]["rounds"] == 3
+    assert rates[0.0] <= rates[0.01] <= rates[0.04], rates
+    assert rates[0.04] > rates[0.0], rates
+
+
+def test_sweep_smoke_and_schema():
+    res = spacetime_logical_sweep(
+        lt.toric_code_x(3), lt.toric_code_z(3), [0.005, 0.02],
+        rounds=2, trials_per_point=64, max_iters=30, batch=64, seed=1)
+    for per in (0.005, 0.02):
+        pt = res[per]
+        assert pt["trials"] == 64
+        assert 0.0 <= pt["any_logical_rate"] <= 1.0
+        assert pt["any_logical_ci95"][0] <= pt["any_logical_rate"] <= pt["any_logical_ci95"][1]
+        assert pt["meas_error_rate"] == per
+    # monotone in per (loose: just not wildly inverted at these two points)
+    assert res[0.005]["any_logical_rate"] <= res[0.02]["any_logical_rate"] + 0.05
+
+
+def test_bad_shapes_raise():
+    H = lt.toric_code_x(3)
+    dec = SpaceTimeDecoder(H, 3, 0.01, max_iters=10)
+    with pytest.raises(ValueError, match="detectors"):
+        dec.batch_decode(np.zeros((4, 5), np.uint8))
+    with pytest.raises(ValueError, match="rounds"):
+        spacetime_pcm(H, 0)
+    with pytest.raises(ValueError, match="prior-capable|cannot honor"):
+        SpaceTimeDecoder(H, 2, 0.01, max_iters=10, decoder="bitflip")
