@@ -57,6 +57,25 @@ def _build_code(spec: str):
     raise SystemExit(f"unknown code spec '{spec}'")
 
 
+def _build_css_pair(spec: str):
+    """Return ``(Hx, Hz)`` for CSS code specs (toric:d, surface:d,
+    bicycle:name) — the pair the logical-error commands need."""
+    import ldpcdecoders_tpu as lt
+
+    kind, _, args = spec.partition(":")
+    if kind == "toric":
+        return lt.toric_code_x(int(args)), lt.toric_code_z(int(args))
+    if kind == "surface":
+        return lt.surface_code_x(int(args)), lt.surface_code_z(int(args))
+    if kind == "bicycle":
+        Hx, Hz, _ = lt.named_bicycle_code(args)
+        return Hx, Hz
+    raise SystemExit(
+        f"'{spec}' is not a CSS pair spec (logical sweeps need toric:d, "
+        "surface:d, or bicycle:name)"
+    )
+
+
 def _decoder_factory(name: str, H, max_iters: int, osd_order: int, T: int, C: float, fused: bool = False, osd_scope: str = 'all', qc=None, schedule: str = 'flooding', schedule_file=None, osd_method: str = 'exhaustive'):
     import ldpcdecoders_tpu as lt
     from ldpcdecoders_tpu.config import DecoderConfig
@@ -161,6 +180,24 @@ def main(argv=None):
     tr.add_argument("--seed", type=int, default=0)
     tr.add_argument("--out", required=True, help="output npz path")
 
+    lg = sub.add_parser(
+        "logical", parents=[common],
+        help="degeneracy-aware logical-error sweep of a CSS pair "
+             "(toric:d | surface:d | bicycle:name); --rounds > 1 decodes "
+             "noisy measurement rounds jointly (phenomenological model)")
+    lg.add_argument("--pers", required=True,
+                    help="comma-separated physical error rates")
+    lg.add_argument("--trials", type=int, default=4096)
+    lg.add_argument("--rounds", type=int, default=1,
+                    help="syndrome-measurement rounds per shot (1 = perfect "
+                         "measurements, i.e. css_logical_sweep)")
+    lg.add_argument("--meas-error-rate", type=float, default=None,
+                    help="readout flip rate per bit/round (default: per); "
+                         "needs --rounds > 1")
+    lg.add_argument("--loss-rate", type=float, default=0.0,
+                    help="heralded qubit-loss fraction (rounds=1 only)")
+    lg.add_argument("--seed", type=int, default=0)
+
     a = ap.parse_args(argv)
 
     from ldpcdecoders_tpu.cache import enable_compilation_cache
@@ -168,6 +205,35 @@ def main(argv=None):
     from ldpcdecoders_tpu.utils.profiling import trace
 
     enable_compilation_cache()
+
+    if a.cmd == "logical":
+        from ldpcdecoders_tpu.harness import (
+            css_logical_sweep,
+            spacetime_logical_sweep,
+        )
+
+        Hx, Hz = _build_css_pair(a.code)
+        pers = [float(x) for x in a.pers.split(",")]
+        knobs = dict(decoder=a.decoder, max_iters=a.max_iters,
+                     batch=a.batch, seed=a.seed, osd_order=a.osd_order)
+        with trace(a.profile):
+            if a.rounds > 1:
+                if a.loss_rate:
+                    raise SystemExit(
+                        "--loss-rate is a rounds=1 feature (heralded loss "
+                        "under perfect measurements)")
+                out = spacetime_logical_sweep(
+                    Hx, Hz, pers, rounds=a.rounds,
+                    meas_error_rate=a.meas_error_rate,
+                    trials_per_point=a.trials, **knobs)
+            else:
+                if a.meas_error_rate is not None:
+                    raise SystemExit("--meas-error-rate needs --rounds > 1")
+                out = css_logical_sweep(
+                    Hx, Hz, pers, trials_per_point=a.trials,
+                    loss_rate=a.loss_rate, **knobs)
+        print(json.dumps({str(k): v for k, v in out.items()}, indent=2))
+        return 0
 
     H, qc = _build_code(a.code)
     if a.cmd == "train":

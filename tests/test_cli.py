@@ -134,3 +134,52 @@ def test_cli_train_then_bench_neural(tmp_path, capsys):
     assert rc == 0
     bench = json.loads(capsys.readouterr().out)
     assert bench["decoder"] == "neural_minsum" and bench["syndromes_per_s"] > 0
+
+
+def test_cli_logical_spacetime(capsys):
+    rc = main(
+        [
+            "logical",
+            "--code", "toric:3",
+            "--pers", "0.01",
+            "--trials", "64",
+            "--batch", "64",
+            "--max-iters", "30",
+            "--rounds", "2",
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    pt = out["0.01"]
+    assert pt["trials"] == 64
+    assert pt["rounds"] == 2
+    assert 0.0 <= pt["any_logical_rate"] <= 1.0
+
+
+def test_cli_logical_single_round(capsys):
+    rc = main(
+        [
+            "logical",
+            "--code", "toric:3",
+            "--pers", "0.01",
+            "--trials", "64",
+            "--batch", "64",
+            "--max-iters", "30",
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["0.01"]["trials"] == 64
+    assert "throughput_pairs_per_s" in out["0.01"]
+
+
+def test_cli_logical_flag_validation():
+    with pytest.raises(SystemExit, match="rounds > 1"):
+        main(["logical", "--code", "toric:3", "--pers", "0.01",
+              "--trials", "32", "--meas-error-rate", "0.01"])
+    with pytest.raises(SystemExit, match="rounds=1"):
+        main(["logical", "--code", "toric:3", "--pers", "0.01",
+              "--trials", "32", "--rounds", "2", "--loss-rate", "0.1"])
+    with pytest.raises(SystemExit, match="CSS pair"):
+        main(["logical", "--code", "gallager:120,6,3", "--pers", "0.01",
+              "--trials", "32"])
