@@ -54,6 +54,7 @@ from .models import (
     MixedChannelDecoder,
     NeuralMinSumDecoder,
     SpaceTimeDecoder,
+    SlidingWindowDecoder,
     decode_soft,
 )
 from . import parallel

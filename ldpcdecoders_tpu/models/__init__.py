@@ -13,6 +13,7 @@ from .peeling import ErasurePeelingDecoder
 from .mixed import MixedChannelDecoder
 from .neural import NeuralMinSumDecoder
 from .spacetime import SpaceTimeDecoder
+from .window import SlidingWindowDecoder
 
 __all__ = [
     "Decoder",
@@ -33,5 +34,6 @@ __all__ = [
     "MixedChannelDecoder",
     "NeuralMinSumDecoder",
     "SpaceTimeDecoder",
+    "SlidingWindowDecoder",
     "decode_soft",
 ]

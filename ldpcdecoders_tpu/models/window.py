@@ -1,0 +1,142 @@
+"""Sliding-window streaming decoding of unbounded syndrome streams.
+
+A real-time decoder cannot wait for a run's final (perfect) readout:
+it must emit corrections while measurement rounds keep arriving.  The
+standard construction decodes a *window* of ``W`` rounds over the
+open-boundary space-time graph (``codes/spacetime.py`` with
+``perfect_last=False`` — the window's last rounds may still be
+explained by future measurement errors), *commits* only the oldest
+``C`` rounds of its solution (the part no future data can change
+much), slides forward by ``C``, and repeats; the stream's final window
+uses the closed graph.
+
+Cross-window bookkeeping is one XOR: committing round ``t``'s
+measurement-error estimate ``u_t`` removes its contribution from the
+next window's first detector (``d_{t+1} = H e_{t+1} + u_{t+1} + u_t``),
+so each window decodes an *adjusted* detector slice and the whole
+stream telescopes — the final cumulative estimate exactly reproduces
+the final perfect syndrome (tested), just like a full-history decode.
+
+TPU shape notes: every mid-stream window reuses ONE compiled program
+(same ``[B, W*m]`` detector shape, same graph); only the final closed
+window compiles a second program per distinct tail length.  Throughput
+is therefore ``C`` rounds of latency per device dispatch, independent
+of stream length, and the decode state carried between windows is a
+single ``[B, m]`` XOR mask plus the committed correction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..codes.spacetime import detectors_of
+from .spacetime import SpaceTimeDecoder
+
+__all__ = ["SlidingWindowDecoder"]
+
+
+class SlidingWindowDecoder:
+    """Streaming decoder: window ``W`` rounds, commit ``C``, slide.
+
+    Args:
+      H: ``[m, n]`` stabilizer block.
+      per: per-round data-error rate (scalar or ``[n]``).
+      max_iters: BP iteration cap per window decode.
+      window: rounds per decoded window ``W >= 2``.
+      commit: rounds committed (and slid past) per window,
+        ``1 <= commit < window``.  Smaller = more overlap = better
+        accuracy, more decodes per round.
+      meas_error_rate: readout flip rate (default ``per``).
+      decoder: inner decoder kind (prior-capable; "bposd" default).
+      **knobs: extra DecoderConfig fields.
+    """
+
+    def __init__(self, H, per, max_iters: int, *, window: int = 3,
+                 commit: int = 1, meas_error_rate=None,
+                 decoder: str = "bposd", **knobs):
+        W, C = int(window), int(commit)
+        if W < 2:
+            raise ValueError(f"window must be >= 2 rounds, got {window}")
+        if not 1 <= C < W:
+            raise ValueError(
+                f"commit must be in [1, window), got {commit} (window={window})")
+        self.window, self.commit = W, C
+        self._mk = dict(per=per, max_iters=max_iters,
+                        meas_error_rate=meas_error_rate, decoder=decoder,
+                        **knobs)
+        # one open-boundary decoder serves every mid-stream window;
+        # closed tail decoders are built lazily per distinct tail length
+        self._open = SpaceTimeDecoder(H, W, per, max_iters,
+                                      meas_error_rate=meas_error_rate,
+                                      decoder=decoder, perfect_last=False,
+                                      **knobs)
+        self._closed: dict[int, SpaceTimeDecoder] = {}
+        self._H = self._open.A  # keep a reference alive (sparse)
+        self.m, self.n = self._open.m, self._open.n
+        self._Hs = H
+
+    def _tail(self, rounds: int) -> SpaceTimeDecoder:
+        if rounds not in self._closed:
+            self._closed[rounds] = SpaceTimeDecoder(
+                self._Hs, rounds, self._mk["per"], self._mk["max_iters"],
+                meas_error_rate=self._mk["meas_error_rate"],
+                decoder=self._mk["decoder"], perfect_last=True,
+                **{k: v for k, v in self._mk.items()
+                   if k not in ("per", "max_iters", "meas_error_rate",
+                                "decoder")})
+        return self._closed[rounds]
+
+    def decode_stream(self, syndromes, *, seed: int = 0):
+        """Decode a full measured stream ``[B, R, m]`` (last round
+        perfect) by sliding windows; returns
+        ``(errors [B, n] int8, info dict)`` where ``errors`` is the
+        cumulative data correction after round ``R`` and ``info`` has
+        ``windows`` (decode count) and ``converged`` (fraction of
+        window decodes whose BP converged, averaged over lanes)."""
+        s = np.asarray(syndromes).astype(np.uint8)
+        if s.ndim != 3 or s.shape[2] != self.m:
+            raise ValueError(
+                f"expected syndromes of shape [B, R, {self.m}], got {s.shape}")
+        return self.decode_detector_stream(detectors_of(s).reshape(s.shape),
+                                           seed=seed)
+
+    def decode_detector_stream(self, detectors, *, seed: int = 0):
+        """Like :meth:`decode_stream` but on a precomputed detector
+        record ``[B, R, m]`` (``detectors_of`` of the syndrome history,
+        reshaped round-major)."""
+        d = np.asarray(detectors).astype(np.uint8)
+        if d.ndim != 3 or d.shape[2] != self.m:
+            raise ValueError(
+                f"expected detectors of shape [B, R, {self.m}], got {d.shape}")
+        B, R, m = d.shape
+        W, C = self.window, self.commit
+        E = np.zeros((B, self.n), np.uint8)
+        carry = np.zeros((B, m), np.uint8)  # committed u of the last round
+        t = 0
+        n_windows = 0
+        conv_sum = 0.0
+        step = 0
+        while R - t > W:
+            win = d[:, t: t + W].copy()
+            win[:, 0] ^= carry
+            _, conv, data, meas = self._open.batch_decode_detailed(
+                win.reshape(B, W * m), seed=seed + step)
+            E ^= (data[:, :C].astype(np.uint8).sum(axis=1) & 1)
+            carry = meas[:, C - 1].astype(np.uint8)
+            t += C
+            n_windows += 1
+            conv_sum += float(np.asarray(conv).mean())
+            step += 1
+        rem = R - t
+        win = d[:, t:].copy()
+        win[:, 0] ^= carry
+        e_tail, conv = self._tail(rem).batch_decode(
+            win.reshape(B, rem * m), seed=seed + step)
+        E ^= np.asarray(e_tail).astype(np.uint8)
+        n_windows += 1
+        conv_sum += float(np.asarray(conv).mean())
+        return E.astype(np.int8), {
+            "windows": n_windows,
+            "converged": conv_sum / n_windows,
+            "rounds": R,
+        }

@@ -213,3 +213,74 @@ def test_bad_shapes_raise():
         spacetime_pcm(H, 0)
     with pytest.raises(ValueError, match="prior-capable|cannot honor"):
         SpaceTimeDecoder(H, 2, 0.01, max_iters=10, decoder="bitflip")
+
+
+# ---------------------------------------------------------------- windowed
+
+
+def test_sliding_window_final_syndrome_identity():
+    """The committed window equations telescope: the streaming estimate
+    reproduces the final perfect syndrome exactly, like a full decode."""
+    from ldpcdecoders_tpu.models.window import SlidingWindowDecoder
+
+    H = lt.toric_code_x(3)
+    rng = np.random.default_rng(21)
+    R, per = 9, 0.01
+    syn, e_final = _history(H, 48, R, per, per, rng)
+    dec = SlidingWindowDecoder(H, per, max_iters=50, window=3, commit=1)
+    E, info = dec.decode_stream(syn, seed=5)
+    np.testing.assert_array_equal(
+        syndromes_of(H, np.asarray(E)), syn[:, -1])
+    assert info["rounds"] == R
+    assert info["windows"] == (R - 3) // 1 + 1
+    assert 0.0 <= info["converged"] <= 1.0
+
+
+def test_sliding_window_accuracy_near_full_decode():
+    """Windowed decoding should logically fail at most ~2x the oracle
+    full-history decode on the same shots (it sees strictly less
+    context), and far less than measurement-blind decoding."""
+    from ldpcdecoders_tpu.models.window import SlidingWindowDecoder
+    from ldpcdecoders_tpu.utils.metrics import gf2_rowspan_reducer
+
+    Hx, Hz = lt.toric_code_x(3), lt.toric_code_z(3)
+    span = gf2_rowspan_reducer(Hz)
+    rng = np.random.default_rng(23)
+    R, per, B = 9, 0.015, 256
+    syn, e_final = _history(Hx, B, R, per, per, rng)
+    win = SlidingWindowDecoder(Hx, per, max_iters=50, window=4, commit=2)
+    E_w, _ = win.decode_stream(syn, seed=1)
+    full = SpaceTimeDecoder(Hx, R, per, max_iters=50)
+    E_f, _ = full.decode_history(syn, seed=1)
+    fail_w = int((~span(e_final ^ np.asarray(E_w, np.uint8))).sum())
+    fail_f = int((~span(e_final ^ np.asarray(E_f, np.uint8))).sum())
+    assert fail_w <= max(2 * fail_f, fail_f + 8), (fail_w, fail_f)
+
+
+def test_sliding_window_short_stream_is_one_closed_decode():
+    """A stream no longer than the window routes to the closed decoder
+    directly — identical to SpaceTimeDecoder on the same history."""
+    from ldpcdecoders_tpu.models.window import SlidingWindowDecoder
+
+    H = lt.toric_code_x(3)
+    rng = np.random.default_rng(29)
+    syn, _ = _history(H, 16, 3, 0.01, 0.01, rng)
+    win = SlidingWindowDecoder(H, 0.01, max_iters=40, window=4, commit=2)
+    E_w, info = win.decode_stream(syn, seed=7)
+    full = SpaceTimeDecoder(H, 3, 0.01, max_iters=40)
+    E_f, _ = full.decode_history(syn, seed=7)
+    np.testing.assert_array_equal(np.asarray(E_w), np.asarray(E_f))
+    assert info["windows"] == 1
+
+
+def test_sliding_window_validation():
+    from ldpcdecoders_tpu.models.window import SlidingWindowDecoder
+
+    H = lt.toric_code_x(3)
+    with pytest.raises(ValueError, match="window"):
+        SlidingWindowDecoder(H, 0.01, 10, window=1)
+    with pytest.raises(ValueError, match="commit"):
+        SlidingWindowDecoder(H, 0.01, 10, window=3, commit=3)
+    dec = SlidingWindowDecoder(H, 0.01, 10, window=3, commit=1)
+    with pytest.raises(ValueError, match="syndromes"):
+        dec.decode_stream(np.zeros((4, 5), np.uint8))
