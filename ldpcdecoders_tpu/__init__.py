@@ -55,6 +55,8 @@ from .models import (
     NeuralMinSumDecoder,
     SpaceTimeDecoder,
     SlidingWindowDecoder,
+    DetectorGraphDecoder,
+    load_dem,
     decode_soft,
 )
 from . import parallel

@@ -14,6 +14,7 @@ from .mixed import MixedChannelDecoder
 from .neural import NeuralMinSumDecoder
 from .spacetime import SpaceTimeDecoder
 from .window import SlidingWindowDecoder
+from .detector import DetectorGraphDecoder, load_dem
 
 __all__ = [
     "Decoder",
@@ -35,5 +36,7 @@ __all__ = [
     "NeuralMinSumDecoder",
     "SpaceTimeDecoder",
     "SlidingWindowDecoder",
+    "DetectorGraphDecoder",
+    "load_dem",
     "decode_soft",
 ]

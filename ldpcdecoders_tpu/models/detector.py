@@ -1,0 +1,208 @@
+"""Generic detector-graph decoding: circuit-level noise import.
+
+``codes/spacetime.py`` *builds* a detector matrix for the
+phenomenological model; real experiments usually come with one already
+— a detector error model (DEM) extracted from the actual syndrome
+circuit, where each independent error mechanism flips a known set of
+detectors and logical observables.  :class:`DetectorGraphDecoder`
+decodes any such model through the existing batched TPU machinery:
+
+  * the mechanisms' detector footprints form a sparse parity-check
+    matrix ``A [D, N]`` (one column per mechanism);
+  * mechanism probabilities become the per-column channel prior;
+  * the observable footprints form ``O [k, N]``, and the decoder's
+    output is the predicted observable flips ``O @ x_hat (mod 2)`` —
+    exactly the quantity a sampler compares against the measured
+    observable record (the sinter-style decoding interface).
+
+:func:`load_dem` parses the common flattened text DEM format
+(``error(p) D0 D1 L0`` lines, as produced by e.g. stim's
+``DetectorErrorModel.flattened()``) without requiring any external
+dependency; mechanisms with identical footprints are merged by XOR
+probability, matching the format's semantics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import DecoderConfig
+
+__all__ = ["DetectorGraphDecoder", "load_dem"]
+
+
+def load_dem(text_or_path):
+    """Parse a flattened detector-error-model text file.
+
+    Supported statements (one per line; ``#``/``//`` comments and blank
+    lines ignored):
+
+      * ``error(p) T1 T2 ...`` — an independent error mechanism with
+        probability ``p`` flipping detector targets ``D<k>`` and
+        logical-observable targets ``L<k>``.  ``^`` separator tokens
+        (suggested decompositions) are ignored — the mechanism is taken
+        whole.  Repeated identical footprints merge via
+        ``p = p1(1-p2) + p2(1-p1)`` (independent-XOR combination).
+      * ``detector(...) D<k>`` / ``logical_observable L<k>`` —
+        declarations; only consulted to size the outputs.
+
+    ``repeat`` blocks and ``shift_detectors`` are NOT supported — pass
+    a *flattened* model (stim: ``dem.flattened()``).
+
+    Returns ``(A, priors, O)``: ``A`` scipy.sparse csr ``[D, N]`` uint8,
+    ``priors`` float64 ``[N]``, ``O`` dense uint8 ``[k, N]`` (``k`` may
+    be 0).
+    """
+    import os
+    import re
+
+    import scipy.sparse as sp
+
+    text = text_or_path
+    if (isinstance(text_or_path, (str, os.PathLike))
+            and "\n" not in str(text_or_path)
+            and os.path.exists(text_or_path)):
+        with open(text_or_path) as f:
+            text = f.read()
+
+    mechanisms: dict[tuple, float] = {}
+    max_d = max_l = -1
+    err_re = re.compile(r"^error\s*\(\s*([0-9.eE+-]+)\s*\)\s*(.*)$")
+    for raw in str(text).splitlines():
+        line = raw.split("#", 1)[0].split("//", 1)[0].strip()
+        if not line:
+            continue
+        m = err_re.match(line)
+        if m:
+            p = float(m.group(1))
+            if not 0.0 <= p <= 1.0:
+                raise ValueError(f"error probability out of range: {raw!r}")
+            dets, obs = [], []
+            for tok in m.group(2).split():
+                if tok == "^":
+                    continue  # decomposition separator: take the whole mechanism
+                if tok[0] == "D":
+                    dets.append(int(tok[1:]))
+                elif tok[0] == "L":
+                    obs.append(int(tok[1:]))
+                else:
+                    raise ValueError(f"unknown error target {tok!r} in {raw!r}")
+            key = (tuple(sorted(set(dets))), tuple(sorted(set(obs))))
+            if dets:
+                max_d = max(max_d, *dets)
+            if obs:
+                max_l = max(max_l, *obs)
+            q = mechanisms.get(key, 0.0)
+            mechanisms[key] = q * (1 - p) + p * (1 - q)
+            continue
+        head = line.split("(")[0].split()[0]
+        if head == "detector":
+            ds = [int(t[1:]) for t in line.split() if t[0] == "D"]
+            if ds:
+                max_d = max(max_d, *ds)
+            continue
+        if head == "logical_observable":
+            ls = [int(t[1:]) for t in line.split() if t[0] == "L"]
+            if ls:
+                max_l = max(max_l, *ls)
+            continue
+        if head in ("repeat", "shift_detectors"):
+            raise ValueError(
+                f"'{head}' is not supported — flatten the model first "
+                "(stim: dem.flattened())")
+        raise ValueError(f"unrecognized DEM statement: {raw!r}")
+
+    if not mechanisms:
+        raise ValueError("no error mechanisms in the model")
+    D, K = max_d + 1, max_l + 1
+    N = len(mechanisms)
+    rows, cols = [], []
+    O = np.zeros((K, N), np.uint8)
+    priors = np.empty(N, np.float64)
+    for j, ((dets, obs), p) in enumerate(sorted(mechanisms.items())):
+        priors[j] = p
+        rows.extend(dets)
+        cols.extend([j] * len(dets))
+        for L in obs:
+            O[L, j] = 1
+    A = sp.csr_matrix(
+        (np.ones(len(rows), np.uint8), (rows, cols)), shape=(D, N))
+    return A, priors, O
+
+
+class DetectorGraphDecoder:
+    """Decode arbitrary detector error models on TPU.
+
+    Args:
+      A: ``[D, N]`` detector matrix — ``A[d, j] = 1`` iff mechanism
+        ``j`` flips detector ``d`` (dense or scipy.sparse).
+      priors: ``[N]`` per-mechanism probabilities.
+      max_iters: BP iteration cap.
+      observables: optional ``[k, N]`` observable matrix — mechanism
+        ``j`` flips logical observable ``i`` iff ``O[i, j] = 1``.
+      decoder: inner decoder kind (prior-capable; "bposd" default gives
+        detector-consistent estimates).
+      **knobs: extra DecoderConfig fields (osd_order, ...).
+
+    Build directly from a flattened DEM text/file with
+    :meth:`from_dem`.
+    """
+
+    def __init__(self, A, priors, max_iters: int, *, observables=None,
+                 decoder: str = "bposd", **knobs):
+        import scipy.sparse as sp
+
+        A = sp.csr_matrix(A).astype(np.uint8)
+        self.D, self.N = A.shape
+        priors = np.asarray(priors, np.float64)
+        if priors.shape != (self.N,):
+            raise ValueError(
+                f"priors must be [{self.N}] (one per mechanism/column), "
+                f"got {priors.shape}")
+        if np.any(priors <= 0.0) or np.any(priors >= 1.0):
+            raise ValueError("mechanism priors must lie strictly in (0, 1)")
+        self.A = A
+        self._prior = priors
+        self.O = (None if observables is None
+                  else np.asarray(observables, np.uint8) % 2)
+        if self.O is not None and self.O.shape[1] != self.N:
+            raise ValueError(
+                f"observables must be [k, {self.N}], got {self.O.shape}")
+        cfg = DecoderConfig(kind=decoder, per=float(priors.mean()),
+                            max_iters=max_iters, **knobs)
+        self.inner = cfg.build(A)
+        if not (self.inner.supports_per_override
+                and self.inner.supports_vector_prior):
+            raise ValueError(
+                f"decoder kind '{decoder}' cannot honor per-mechanism "
+                "priors; use a prior-capable kind (bp, bposd, minsum, "
+                "layered_minsum, bpots)")
+
+    @classmethod
+    def from_dem(cls, text_or_path, max_iters: int, *, decoder: str = "bposd",
+                 **knobs):
+        """Build from a flattened DEM (see :func:`load_dem`)."""
+        A, priors, O = load_dem(text_or_path)
+        return cls(A, priors, max_iters, observables=O, decoder=decoder,
+                   **knobs)
+
+    def batch_decode(self, detectors, *, seed: int = 0):
+        """Decode detector records ``[B, D]``; returns
+        ``(mechanisms [B, N] int8, converged [B] bool)``."""
+        detectors = np.asarray(detectors)
+        if detectors.ndim != 2 or detectors.shape[1] != self.D:
+            raise ValueError(
+                f"expected detectors of shape [B, {self.D}], got "
+                f"{detectors.shape}")
+        x, conv = self.inner.batch_decode(detectors, seed=seed,
+                                          per=self._prior)
+        return np.asarray(x), np.asarray(conv)
+
+    def predict_observables(self, detectors, *, seed: int = 0):
+        """The sampler-facing call: decode and project onto the logical
+        observables.  Returns ``(obs_flips [B, k] uint8, converged)``."""
+        if self.O is None:
+            raise ValueError("no observables matrix was provided")
+        x, conv = self.batch_decode(detectors, seed=seed)
+        flips = (x.astype(np.uint8) @ self.O.T) & 1
+        return flips, conv
