@@ -41,8 +41,10 @@ def load_dem(text_or_path):
         probability ``p`` flipping detector targets ``D<k>`` and
         logical-observable targets ``L<k>``.  ``^`` separator tokens
         (suggested decompositions) are ignored — the mechanism is taken
-        whole.  Repeated identical footprints merge via
-        ``p = p1(1-p2) + p2(1-p1)`` (independent-XOR combination).
+        whole, with a target repeated across components cancelling by
+        parity (flipped twice = not flipped).  Mechanisms with
+        identical footprints merge via ``p = p1(1-p2) + p2(1-p1)``
+        (independent-XOR combination).
       * ``detector(...) D<k>`` / ``logical_observable L<k>`` —
         declarations; only consulted to size the outputs.
 
@@ -77,17 +79,17 @@ def load_dem(text_or_path):
             p = float(m.group(1))
             if not 0.0 <= p <= 1.0:
                 raise ValueError(f"error probability out of range: {raw!r}")
-            dets, obs = [], []
+            dets, obs = set(), set()
             for tok in m.group(2).split():
                 if tok == "^":
                     continue  # decomposition separator: take the whole mechanism
                 if tok[0] == "D":
-                    dets.append(int(tok[1:]))
+                    dets ^= {int(tok[1:])}  # parity: flipped twice = not flipped
                 elif tok[0] == "L":
-                    obs.append(int(tok[1:]))
+                    obs ^= {int(tok[1:])}
                 else:
                     raise ValueError(f"unknown error target {tok!r} in {raw!r}")
-            key = (tuple(sorted(set(dets))), tuple(sorted(set(obs))))
+            key = (tuple(sorted(dets)), tuple(sorted(obs)))
             if dets:
                 max_d = max(max_d, *dets)
             if obs:

@@ -45,8 +45,9 @@ def test_load_dem_ignores_decomposition_and_comments():
     A, priors, O = load_dem(
         "error(0.01) D0 D1 ^ D1 D2 L0  # comment\n// another\n")
     assert A.shape == (3, 1)
-    # whole mechanism: D1 appears twice in the line but footprint is a set
-    np.testing.assert_array_equal(np.asarray(A.todense())[:, 0], [1, 1, 1])
+    # whole mechanism with parity: D1 appears in both decomposition
+    # components, so it cancels (flipped twice = not flipped)
+    np.testing.assert_array_equal(np.asarray(A.todense())[:, 0], [1, 0, 1])
     assert O[0, 0] == 1
 
 
