@@ -44,7 +44,11 @@ def load_dem(text_or_path):
         whole, with a target repeated across components cancelling by
         parity (flipped twice = not flipped).  Mechanisms with
         identical footprints merge via ``p = p1(1-p2) + p2(1-p1)``
-        (independent-XOR combination).
+        (independent-XOR combination).  Mechanisms that can never fire
+        (``p == 0`` after merging) or touch nothing are dropped; a
+        deterministic ``p == 1`` mechanism raises (fold certain flips
+        into the frame upstream); an observable-flipping mechanism with
+        no detector footprint warns (undetectable logical error).
       * ``detector(...) D<k>`` / ``logical_observable L<k>`` —
         declarations; only consulted to size the outputs.
 
@@ -114,6 +118,28 @@ def load_dem(text_or_path):
                 "(stim: dem.flattened())")
         raise ValueError(f"unrecognized DEM statement: {raw!r}")
 
+    # mechanisms that can never fire (p == 0 after merging — stim keeps
+    # explicit error(0) instructions in flattened output) and footprint-free
+    # no-ops (no detectors, no observables) are dropped so any valid
+    # flattened DEM round-trips through DetectorGraphDecoder's strict
+    # (0, 1) prior check; a deterministic p == 1 mechanism has no BP prior
+    # representation and should be folded into the frame upstream
+    mechanisms = {k: p for k, p in mechanisms.items()
+                  if p > 0.0 and k != ((), ())}
+    for (dets, obs), p in mechanisms.items():
+        if p >= 1.0:
+            raise ValueError(
+                f"deterministic error mechanism (p=1) on D{list(dets)} "
+                f"L{list(obs)}: fold certain flips into the detector/"
+                "observable frame before decoding")
+        if obs and not dets:
+            import warnings
+
+            warnings.warn(
+                f"mechanism with p={p:g} flips observable(s) {sorted(obs)} "
+                "but NO detectors — it is invisible to the decoder, which "
+                "will mispredict those observables with at least that "
+                "probability", stacklevel=2)
     if not mechanisms:
         raise ValueError("no error mechanisms in the model")
     D, K = max_d + 1, max_l + 1
@@ -170,6 +196,21 @@ class DetectorGraphDecoder:
         if self.O is not None and self.O.shape[1] != self.N:
             raise ValueError(
                 f"observables must be [k, {self.N}], got {self.O.shape}")
+        if self.O is not None:
+            # an observable-flipping mechanism with an empty detector
+            # footprint is undetectable: the decoder can never assign it,
+            # so predicted observables silently disagree with the shot
+            # record with at least that mechanism's probability
+            col_wt = np.asarray(A.sum(axis=0)).ravel()
+            bad = np.flatnonzero((col_wt == 0) & (self.O.sum(axis=0) > 0))
+            if bad.size:
+                import warnings
+
+                warnings.warn(
+                    f"{bad.size} mechanism(s) (columns {bad[:8].tolist()}"
+                    f"{'...' if bad.size > 8 else ''}) flip observables but "
+                    "no detectors — undetectable logical errors the decoder "
+                    "cannot correct", stacklevel=2)
         cfg = DecoderConfig(kind=decoder, per=float(priors.mean()),
                             max_iters=max_iters, **knobs)
         self.inner = cfg.build(A)

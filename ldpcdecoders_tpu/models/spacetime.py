@@ -64,6 +64,9 @@ class SpaceTimeDecoder:
         self.rounds = int(rounds)
         self.perfect_last = bool(perfect_last)
         q = per if meas_error_rate is None else meas_error_rate
+        self._q_default = q  # kept for rounds=1 prior overrides: the
+        # perfect-last single-round prior has no measurement columns to
+        # slice the default q back out of (see _prior_vec)
         self._prior = spacetime_prior(self.n, self.m, self.rounds, per, q,
                                       perfect_last=self.perfect_last)
         self.A = spacetime_pcm(Hs, self.rounds, perfect_last=self.perfect_last)
@@ -86,8 +89,16 @@ class SpaceTimeDecoder:
         if per is None and q is None:
             return self._prior
         p = self._prior[: self.n] if per is None else per
-        qq = (self._prior[self.rounds * self.n: self.rounds * self.n + self.m]
-              if q is None else q)
+        if q is not None:
+            qq = q
+        elif self.n_meas_rounds > 0:
+            qq = self._prior[self.rounds * self.n:
+                             self.rounds * self.n + self.m]
+        else:
+            # rounds=1 with perfect_last has zero measurement columns, so
+            # the stored prior can't be sliced for q — fall back to the
+            # constructor's default (it is unused downstream anyway)
+            qq = self._q_default
         return spacetime_prior(self.n, self.m, self.rounds, p, qq,
                                perfect_last=self.perfect_last)
 

@@ -62,6 +62,36 @@ def test_load_dem_rejects_unflattened():
         load_dem("detector D0")
 
 
+def test_load_dem_drops_impossible_and_rejects_deterministic():
+    # p == 0 mechanisms (stim keeps explicit error(0) lines) are dropped,
+    # so from_dem round-trips models that retain them
+    A, priors, O = load_dem("error(0) D0 L0\nerror(0.1) D0 D1\n")
+    assert A.shape == (2, 1)
+    np.testing.assert_allclose(priors, [0.1])
+    # footprint-free no-op mechanisms are dropped too
+    A2, p2, _ = load_dem("error(0.3)\nerror(0.1) D0\n")
+    assert A2.shape == (1, 1)
+    # a model that is ONLY impossible mechanisms is empty
+    with pytest.raises(ValueError, match="no error mechanisms"):
+        load_dem("error(0) D0\n")
+    # deterministic mechanisms have no BP prior representation
+    with pytest.raises(ValueError, match="deterministic"):
+        load_dem("error(1) D0 D1\n")
+    # and two p=0.5 copies of a mechanism XOR-merge to 0.5, not 1
+    _, p3, _ = load_dem("error(0.5) D0\nerror(0.5) D0\n")
+    np.testing.assert_allclose(p3, [0.5])
+
+
+def test_undetectable_observable_mechanism_warns():
+    with pytest.warns(UserWarning, match="invisible to the decoder"):
+        load_dem("error(0.01) L0\nerror(0.1) D0 L0\n")
+    # direct construction warns too
+    A = np.array([[1, 0], [0, 0]], np.uint8)
+    O = np.array([[0, 1]], np.uint8)
+    with pytest.warns(UserWarning, match="undetectable"):
+        DetectorGraphDecoder(A, [0.1, 0.01], 10, observables=O)
+
+
 def test_detector_decoder_matches_spacetime_on_same_graph():
     """Feeding spacetime_pcm + spacetime_prior through the generic
     detector decoder must reproduce SpaceTimeDecoder bit for bit."""

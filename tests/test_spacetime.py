@@ -95,6 +95,21 @@ def test_rounds_one_equals_single_shot():
     np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
 
 
+def test_rounds_one_partial_prior_override():
+    """rounds=1 has zero measurement columns; a per-only override must
+    not try to slice a default q back out of the stored prior
+    (regression: opaque broadcast ValueError)."""
+    H = lt.parity_check_matrix(48, 6, 3, rng=5)
+    rng = np.random.default_rng(2)
+    syn = syndromes_of(H, sample_errors(rng, 8, 48, 0.03))
+    st = SpaceTimeDecoder(H, 1, 0.02, max_iters=30, decoder="bposd")
+    e1, c1 = st.batch_decode(syn, seed=3, per=0.03)  # q left default
+    plain = lt.BeliefPropagationOSDDecoder(H, 0.03, 30)
+    e2, c2 = plain.batch_decode(syn, seed=3, per=np.full(48, 0.03))
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+
 def test_converged_lanes_reproduce_detectors():
     """A converged space-time solution satisfies A x = d, so the
     cumulative estimate reproduces the final (perfect) syndrome."""
