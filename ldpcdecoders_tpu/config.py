@@ -24,7 +24,16 @@ _KINDS = (
     "layered_minsum",
     "qc_minsum",
     "neural_minsum",
+    # quantum wrapper kinds (SpaceTime / SlidingWindow / DetectorGraph)
+    "spacetime",
+    "window",
+    "detector",
 )
+
+#: decoder-specific knobs forwarded from a wrapper kind's config to its
+#: inner decoder's DecoderConfig
+_INNER_KNOBS = ("osd_order", "T", "C", "alpha", "beta", "scale", "beta_q",
+                "use_pallas", "fused", "osd_scope", "osd_method")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -72,10 +81,31 @@ class DecoderConfig:
     #: neural_minsum only: npz schedule saved by
     #: NeuralMinSumDecoder.save_schedule (None = untrained = plain min-sum)
     schedule_path: str | None = None
+    #: spacetime/window/detector only: inner decoder kind (any
+    #: prior-capable kind above)
+    inner_kind: str = "bposd"
+    #: spacetime/window only: measurement rounds decoded jointly
+    rounds: int = 1
+    #: spacetime/window only: readout flip rate (None = per, the p == q
+    #: phenomenological convention)
+    meas_error_rate: float | None = None
+    #: spacetime only: final round read out perfectly (closed problem)
+    perfect_last: bool = True
+    #: window only: rounds per decoded window / rounds committed per slide
+    window: int = 3
+    commit: int = 1
+    #: detector only: flattened DEM file to build from (``build(None)``);
+    #: alternatively pass ``build((A, priors[, observables]))``
+    dem_path: str | None = None
 
     def __post_init__(self):
         if self.kind not in _KINDS:
             raise ValueError(f"unknown decoder kind '{self.kind}' (choose from {_KINDS})")
+        if (self.kind in ("spacetime", "window", "detector")
+                and self.inner_kind in ("spacetime", "window", "detector")):
+            raise ValueError(
+                f"inner_kind '{self.inner_kind}' cannot itself be a wrapper "
+                "kind; pick a base decoder (bp, bposd, minsum, ...)")
 
     def build(self, H):
         """Construct the decoder for parity-check matrix ``H``.
@@ -87,6 +117,33 @@ class DecoderConfig:
         import ldpcdecoders_tpu as lt
 
         k = self.kind
+        if k in ("spacetime", "window", "detector"):
+            knobs = {f: getattr(self, f) for f in _INNER_KNOBS}
+            if k == "spacetime":
+                return lt.SpaceTimeDecoder(
+                    H, self.rounds, self.per, self.max_iters,
+                    meas_error_rate=self.meas_error_rate,
+                    decoder=self.inner_kind,
+                    perfect_last=self.perfect_last, **knobs)
+            if k == "window":
+                return lt.SlidingWindowDecoder(
+                    H, self.per, self.max_iters, window=self.window,
+                    commit=self.commit,
+                    meas_error_rate=self.meas_error_rate,
+                    decoder=self.inner_kind, **knobs)
+            if self.dem_path:
+                return lt.DetectorGraphDecoder.from_dem(
+                    self.dem_path, self.max_iters, decoder=self.inner_kind,
+                    **knobs)
+            if not (isinstance(H, tuple) and len(H) in (2, 3)):
+                raise ValueError(
+                    "kind='detector' takes (A, priors) or (A, priors, "
+                    "observables) as the code argument, or set dem_path")
+            A, priors, *rest = H
+            return lt.DetectorGraphDecoder(
+                A, priors, self.max_iters,
+                observables=rest[0] if rest else None,
+                decoder=self.inner_kind, **knobs)
         if k == "qc_minsum":
             if not (isinstance(H, tuple) and len(H) == 2):
                 raise ValueError(

@@ -925,7 +925,8 @@ def spacetime_logical_sweep(
                 cum = (np.cumsum(e, axis=1) & 1).astype(np.uint8)
                 syn = np.stack([syndromes_of(H_det, cum[:, r]) for r in range(R)],
                                axis=1)
-                u = sample_errors(rng, b * R, dec.m, q).reshape(b, R, dec.m)
+                u = sample_errors(rng, b * R, dec.block_m, q).reshape(
+                    b, R, dec.block_m)
                 u[:, -1] = 0  # perfect final readout
                 syn ^= u.astype(np.uint8)
                 from .codes.spacetime import detectors_of

@@ -27,6 +27,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..config import DecoderConfig
+from .base import Decoder
 
 __all__ = ["DetectorGraphDecoder", "load_dem"]
 
@@ -158,7 +159,7 @@ def load_dem(text_or_path):
     return A, priors, O
 
 
-class DetectorGraphDecoder:
+class DetectorGraphDecoder(Decoder):
     """Decode arbitrary detector error models on TPU.
 
     Args:
@@ -172,8 +173,12 @@ class DetectorGraphDecoder:
         detector-consistent estimates).
       **knobs: extra DecoderConfig fields (osd_order, ...).
 
-    Build directly from a flattened DEM text/file with
-    :meth:`from_dem`.
+    A full :class:`~.base.Decoder`: ``m = D`` (detector record length),
+    ``n = N`` (mechanism count), so ``decode``/``batchdecode``,
+    ``DecodeStats``, async dispatch, and :class:`~..harness.FERSweep`
+    drive it uniformly (the reference's one-contract discipline,
+    /root/reference/src/decoders/abstract_decoder.jl:31-48).  Build
+    directly from a flattened DEM text/file with :meth:`from_dem`.
     """
 
     def __init__(self, A, priors, max_iters: int, *, observables=None,
@@ -220,6 +225,10 @@ class DetectorGraphDecoder:
                 f"decoder kind '{decoder}' cannot honor per-mechanism "
                 "priors; use a prior-capable kind (bp, bposd, minsum, "
                 "layered_minsum, bpots)")
+        # Decoder contract: m = input record length, n = output length
+        self.m, self.n = self.D, self.N
+        self.converged_implies_syndrome_match = (
+            self.inner.converged_implies_syndrome_match)
 
     @classmethod
     def from_dem(cls, text_or_path, max_iters: int, *, decoder: str = "bposd",
@@ -229,7 +238,15 @@ class DetectorGraphDecoder:
         return cls(A, priors, max_iters, observables=O, decoder=decoder,
                    **knobs)
 
-    def batch_decode(self, detectors, *, seed: int = 0):
+    def _decode_batch(self, detectors, seed: int = 0, per=None):
+        """Traceable core: detector records ``[B, D]`` -> mechanism
+        estimates ``[B, N]``.  The DEM's per-mechanism priors are the
+        default channel prior; ``per`` overrides them (scalar or
+        ``[N]``)."""
+        prior = self._prior if per is None else per
+        return self.inner._decode_batch(detectors, seed, per=prior)
+
+    def batch_decode(self, detectors, *, seed: int = 0, per=None):
         """Decode detector records ``[B, D]``; returns
         ``(mechanisms [B, N] int8, converged [B] bool)``."""
         detectors = np.asarray(detectors)
@@ -237,9 +254,8 @@ class DetectorGraphDecoder:
             raise ValueError(
                 f"expected detectors of shape [B, {self.D}], got "
                 f"{detectors.shape}")
-        x, conv = self.inner.batch_decode(detectors, seed=seed,
-                                          per=self._prior)
-        return np.asarray(x), np.asarray(conv)
+        err, conv, _, _ = self._call_decode(detectors, seed, per)
+        return np.asarray(err), np.asarray(conv)
 
     def predict_observables(self, detectors, *, seed: int = 0):
         """The sampler-facing call: decode and project onto the logical

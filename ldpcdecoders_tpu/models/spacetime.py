@@ -10,11 +10,23 @@ and every round's readout errors, so the whole thing runs through the
 existing batched TPU decoders (BP, min-sum, BP+OSD, ...) as-is, in one
 compiled program per batch of shots.
 
+:class:`SpaceTimeDecoder` is a full :class:`~..models.base.Decoder`:
+its "syndrome" is the ``[B, R*m]`` detector record and its error
+estimate the ``[B, n]`` cumulative data correction, so the uniform
+``decode``/``batchdecode`` free functions, ``DecodeStats``, async
+dispatch, and the FER-sweep harness all drive it like any single-shot
+decoder (the reference's one-contract ``decode!`` discipline,
+/root/reference/src/decoders/abstract_decoder.jl:31-48, carried to the
+multi-round setting).
+
 TPU shape notes: the space-time matrix for ``R`` rounds of an ``[m, n]``
 block has ``R*m`` checks and ``R*n + (R-1)*m`` variables — still one
 static-shape Tanner graph, so the batch axis stays the only axis XLA
 parallelizes over and FER sweeps reuse one executable across noise
-points (the prior is a traced argument).
+points (the prior is a traced argument).  ``_decode_batch`` is
+jit-traceable end to end (given a traceable inner decoder, e.g.
+``bposd`` with ``fused=True``), which is what lets the evaluation
+harness fuse sampling + decoding + verification into one device program.
 """
 
 from __future__ import annotations
@@ -23,11 +35,18 @@ import numpy as np
 
 from ..codes.spacetime import detectors_of, spacetime_pcm, spacetime_prior
 from ..config import DecoderConfig
+from .base import Decoder
 
 __all__ = ["SpaceTimeDecoder"]
 
 
-class SpaceTimeDecoder:
+def _is_traced(*xs) -> bool:
+    import jax
+
+    return any(isinstance(x, jax.core.Tracer) for x in xs)
+
+
+class SpaceTimeDecoder(Decoder):
     """Joint decoder for ``R`` noisy syndrome-measurement rounds.
 
     Args:
@@ -46,12 +65,16 @@ class SpaceTimeDecoder:
         "bposd" for syndrome-consistent output.
       perfect_last: see above; ``False`` leaves the final round noisy
         (open boundary for sliding-window use).
-      **knobs: extra DecoderConfig fields (osd_order, alpha, ...).
+      **knobs: extra DecoderConfig fields (osd_order, ...).
 
-    The primary entry points take either the raw multi-round syndrome
-    history (``decode_history``) or a precomputed detector record
-    (``batch_decode``); both return the estimated *cumulative* data
-    error — the correction to apply after round ``R``.
+    Decoder contract: ``m`` is the *detector record* length ``R *
+    block_m`` (what ``batch_decode`` consumes), ``n`` the data block
+    size (what it returns); the underlying stabilizer block's shape is
+    ``(block_m, block_n)``.  The primary entry points take either the
+    raw multi-round syndrome history (``decode_history``) or a
+    precomputed detector record (``batch_decode``); both return the
+    estimated *cumulative* data error — the correction to apply after
+    round ``R``.
     """
 
     def __init__(self, H, rounds: int, per, max_iters: int, *,
@@ -60,17 +83,22 @@ class SpaceTimeDecoder:
         import scipy.sparse as sp
 
         Hs = sp.csr_matrix(H).astype(np.uint8)
-        self.m, self.n = Hs.shape
+        self.block_m, self.block_n = Hs.shape
         self.rounds = int(rounds)
         self.perfect_last = bool(perfect_last)
         q = per if meas_error_rate is None else meas_error_rate
         self._q_default = q  # kept for rounds=1 prior overrides: the
         # perfect-last single-round prior has no measurement columns to
         # slice the default q back out of (see _prior_vec)
-        self._prior = spacetime_prior(self.n, self.m, self.rounds, per, q,
+        self._prior = spacetime_prior(self.block_n, self.block_m,
+                                      self.rounds, per, q,
                                       perfect_last=self.perfect_last)
         self.A = spacetime_pcm(Hs, self.rounds, perfect_last=self.perfect_last)
         self.n_meas_rounds = self.rounds - 1 if self.perfect_last else self.rounds
+        # Decoder contract: m = input record length, n = output length
+        self.m = self.rounds * self.block_m
+        self.n = self.block_n
+        self.n_cols = self.A.shape[1]  # inner variable count
         cfg = DecoderConfig(kind=decoder, per=float(self._prior.mean()),
                             max_iters=max_iters, **knobs)
         # rounds == 1 && perfect_last: A == H exactly — skip the sparse
@@ -84,23 +112,87 @@ class SpaceTimeDecoder:
                 "data/measurement prior vector; use a prior-capable kind "
                 "(bp, bposd, minsum, layered_minsum, bpots)"
             )
+        self.converged_implies_syndrome_match = (
+            self.inner.converged_implies_syndrome_match)
 
     def _prior_vec(self, per, q):
+        """Full inner prior vector for (possibly overridden) rates.
+
+        Works on concrete values (NumPy, f64 — the golden path) and on
+        traced scalars/vectors (jnp, f32 — used when a jitted evaluation
+        step passes the noise rate as a traced argument so one compiled
+        program serves a whole sweep)."""
         if per is None and q is None:
             return self._prior
-        p = self._prior[: self.n] if per is None else per
+        p = self._prior[: self.block_n] if per is None else per
         if q is not None:
             qq = q
         elif self.n_meas_rounds > 0:
-            qq = self._prior[self.rounds * self.n:
-                             self.rounds * self.n + self.m]
+            qq = self._prior[self.rounds * self.block_n:
+                             self.rounds * self.block_n + self.block_m]
         else:
             # rounds=1 with perfect_last has zero measurement columns, so
             # the stored prior can't be sliced for q — fall back to the
             # constructor's default (it is unused downstream anyway)
             qq = self._q_default
-        return spacetime_prior(self.n, self.m, self.rounds, p, qq,
-                               perfect_last=self.perfect_last)
+        if _is_traced(p, qq):
+            import jax.numpy as jnp
+
+            data = jnp.broadcast_to(jnp.asarray(p, jnp.float32),
+                                    (self.block_n,))
+            meas = jnp.broadcast_to(jnp.asarray(qq, jnp.float32),
+                                    (self.block_m,))
+            return jnp.concatenate(
+                [jnp.tile(data, self.rounds),
+                 jnp.tile(meas, self.n_meas_rounds)])
+        return spacetime_prior(self.block_n, self.block_m, self.rounds,
+                               p, qq, perfect_last=self.perfect_last)
+
+    # -- Decoder contract ---------------------------------------------------
+
+    def _decode_batch(self, detectors, seed: int = 0, per=None, q=None):
+        """Traceable core: detector records ``[B, R*m]`` -> cumulative
+        data-error estimate ``[B, n]``.
+
+        ``per`` may be the data-error rate (scalar or ``[block_n]``; the
+        measurement rate defaults to the constructor's) or the FULL
+        ``[n_cols]`` inner prior vector (advanced use — e.g. the sweep
+        harness folding per and q into one traced argument)."""
+        import jax.numpy as jnp
+
+        if per is not None and np.ndim(per) >= 1 and (
+                np.shape(per)[-1] == self.n_cols != self.block_n):
+            prior = per  # full inner prior vector, passed through
+        elif per is None and q is None:
+            prior = self._prior
+        else:
+            prior = self._prior_vec(per, q)
+        x, conv, iters, aux = self.inner._decode_batch(detectors, seed,
+                                                       per=prior)
+        if self.rounds == 1 and self.perfect_last:
+            data = jnp.asarray(x)[:, None, :]
+            meas = jnp.zeros((data.shape[0], 0, self.block_m), jnp.int8)
+            cum = jnp.asarray(x).astype(jnp.int8)
+        else:
+            x = jnp.asarray(x)
+            B = x.shape[0]
+            data = x[:, : self.rounds * self.block_n].reshape(
+                B, self.rounds, self.block_n)
+            meas = x[:, self.rounds * self.block_n:].reshape(
+                B, self.n_meas_rounds, self.block_m)
+            cum = (jnp.sum(data.astype(jnp.int32), axis=1) % 2).astype(jnp.int8)
+        return cum, conv, iters, {"data_rounds": data, "meas": meas,
+                                  "inner": aux}
+
+    def _call_decode(self, syndromes, seed, per, q=None):
+        from ..cache import ensure_default_cache
+
+        ensure_default_cache()
+        if per is None and q is None:
+            return self._decode_batch(syndromes, seed)
+        return self._decode_batch(syndromes, seed, per=per, q=q)
+
+    # -- public API (q-aware wrappers over the Decoder surface) -------------
 
     def batch_decode(self, detectors, *, seed: int = 0, per=None, q=None):
         """Decode detector records ``[B, R*m]`` (see ``detectors_of``).
@@ -112,32 +204,32 @@ class SpaceTimeDecoder:
         ``errors`` is the estimated cumulative data error after the last
         round (XOR of every round's fresh-error estimate).
         """
-        err, conv, _, _ = self._decode_detailed(detectors, seed, per, q)
-        return err, conv
+        detectors = np.asarray(detectors)
+        self._check_shape(detectors)
+        err, conv, _, _ = self._call_decode(detectors, seed, per, q)
+        return np.asarray(err), np.asarray(conv)
 
     def batch_decode_detailed(self, detectors, *, seed: int = 0, per=None,
                               q=None):
-        """Like :meth:`batch_decode`, also returning the per-round split:
-        ``(errors [B, n], converged [B], data_rounds [B, R, n],
-        meas [B, R_noisy, m])``."""
-        return self._decode_detailed(detectors, seed, per, q)
+        """Like :meth:`batch_decode`, also returning iteration counts,
+        the per-round split (``aux["data_rounds"]`` ``[B, R, n]``,
+        ``aux["meas"]`` ``[B, R_noisy, m]``), and
+        :class:`~.base.DecodeStats`."""
+        from .base import DecodeStats
 
-    def _decode_detailed(self, detectors, seed, per, q):
         detectors = np.asarray(detectors)
-        if detectors.ndim != 2 or detectors.shape[1] != self.rounds * self.m:
+        self._check_shape(detectors)
+        err, conv, iters, aux = self._call_decode(detectors, seed, per, q)
+        err, conv, iters = np.asarray(err), np.asarray(conv), np.asarray(iters)
+        return err, conv, iters, aux, DecodeStats.from_arrays(conv, iters)
+
+    def _check_shape(self, detectors):
+        if detectors.ndim != 2 or detectors.shape[1] != self.m:
             raise ValueError(
-                f"expected detectors of shape [B, {self.rounds * self.m}] "
-                f"(rounds={self.rounds} x m={self.m}), got {detectors.shape}"
+                f"expected detectors of shape [B, {self.m}] "
+                f"(rounds={self.rounds} x m={self.block_m}), "
+                f"got {detectors.shape}"
             )
-        prior = self._prior_vec(per, q)
-        x_hat, conv = self.inner.batch_decode(detectors, seed=seed, per=prior)
-        x_hat = np.asarray(x_hat)
-        B = x_hat.shape[0]
-        data = x_hat[:, : self.rounds * self.n].reshape(B, self.rounds, self.n)
-        meas = x_hat[:, self.rounds * self.n:].reshape(
-            B, self.n_meas_rounds, self.m)
-        cum = (data.astype(np.uint8).sum(axis=1) & 1).astype(np.int8)
-        return cum, np.asarray(conv), data, meas
 
     def decode_history(self, syndromes, *, seed: int = 0, per=None, q=None):
         """Decode raw measured syndrome histories ``[B, R, m]`` (or a

@@ -72,7 +72,8 @@ class SlidingWindowDecoder:
                                       **knobs)
         self._closed: dict[int, SpaceTimeDecoder] = {}
         self._H = self._open.A  # keep a reference alive (sparse)
-        self.m, self.n = self._open.m, self._open.n
+        # per-round block shapes (NOT the open decoder's R*m record length)
+        self.m, self.n = self._open.block_m, self._open.block_n
         self._Hs = H
 
     def _tail(self, rounds: int) -> SpaceTimeDecoder:
@@ -119,8 +120,10 @@ class SlidingWindowDecoder:
         while R - t > W:
             win = d[:, t: t + W].copy()
             win[:, 0] ^= carry
-            _, conv, data, meas = self._open.batch_decode_detailed(
+            _, conv, _, aux, _ = self._open.batch_decode_detailed(
                 win.reshape(B, W * m), seed=seed + step)
+            data = np.asarray(aux["data_rounds"])
+            meas = np.asarray(aux["meas"])
             E ^= (data[:, :C].astype(np.uint8).sum(axis=1) & 1)
             carry = meas[:, C - 1].astype(np.uint8)
             t += C

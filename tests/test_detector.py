@@ -109,10 +109,10 @@ def test_detector_decoder_matches_spacetime_on_same_graph():
     g = DetectorGraphDecoder(A, prior, max_iters=40)
     st = SpaceTimeDecoder(H, R, per, max_iters=40)
     x, conv = g.batch_decode(det, seed=4)
-    e_st, conv_st, data, meas = st.batch_decode_detailed(det, seed=4)
+    e_st, conv_st, _, aux, _ = st.batch_decode_detailed(det, seed=4)
     np.testing.assert_array_equal(conv, conv_st)
     np.testing.assert_array_equal(
-        x[:, : R * n].reshape(16, R, n), np.asarray(data))
+        x[:, : R * n].reshape(16, R, n), np.asarray(aux["data_rounds"]))
 
 
 def test_predict_observables_end_to_end():

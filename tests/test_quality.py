@@ -68,6 +68,8 @@ def test_top_level_api_surface():
         "QuantizedMinSumDecoder", "LayeredMinSumDecoder", "BucketedDecoder",
         "QCMinSumDecoder", "ErasurePeelingDecoder", "MixedChannelDecoder",
         "NeuralMinSumDecoder",
+        "SpaceTimeDecoder", "SlidingWindowDecoder", "DetectorGraphDecoder",
+        "load_dem",
         "decode_soft",
         "qc_lift", "random_qc_base_matrix",
         "bivariate_bicycle_code", "named_bicycle_code", "css_code_k",

@@ -118,14 +118,16 @@ def test_converged_lanes_reproduce_detectors():
     R, per, q = 3, 0.015, 0.015
     syn, e_final = _history(H, 64, R, per, q, rng)
     dec = SpaceTimeDecoder(H, R, per, max_iters=60, decoder="bposd")
-    e_hat, conv, data, meas = dec.batch_decode_detailed(detectors_of(syn))
+    e_hat, conv, iters, aux, stats = dec.batch_decode_detailed(
+        detectors_of(syn))
     # `conv` is the BP flag; OSD completion makes EVERY lane detector-
     # consistent, and A x = d telescopes to H @ cum(x) == s_R
     assert conv.mean() > 0.7
+    assert stats.batch_size == 64 and stats.converged_fraction == conv.mean()
     final_syn_hat = syndromes_of(H, np.asarray(e_hat))
     np.testing.assert_array_equal(final_syn_hat, syn[:, -1])
-    assert data.shape == (64, R, H.shape[1])
-    assert meas.shape == (64, R - 1, H.shape[0])
+    assert np.asarray(aux["data_rounds"]).shape == (64, R, H.shape[1])
+    assert np.asarray(aux["meas"]).shape == (64, R - 1, H.shape[0])
 
 
 def test_decode_history_matches_batch_decode():
@@ -299,3 +301,129 @@ def test_sliding_window_validation():
     dec = SlidingWindowDecoder(H, 0.01, 10, window=3, commit=1)
     with pytest.raises(ValueError, match="syndromes"):
         dec.decode_stream(np.zeros((4, 5), np.uint8))
+
+
+# ------------------------------------------------------- unified surface
+
+
+def test_spacetime_is_a_decoder():
+    """SpaceTimeDecoder honors the full Decoder contract (VERDICT r2 #4):
+    free functions, DecodeStats, async dispatch, single decode."""
+    from ldpcdecoders_tpu.models.base import DecodeStats
+
+    H = lt.toric_code_x(3)
+    dec = SpaceTimeDecoder(H, 2, 0.01, max_iters=30)
+    assert isinstance(dec, lt.Decoder)
+    assert dec.m == 2 * H.shape[0] and dec.n == H.shape[1]
+    assert dec.block_m == H.shape[0] and dec.block_n == H.shape[1]
+    rng = np.random.default_rng(11)
+    syn, _ = _history(H, 8, 2, 0.01, 0.01, rng)
+    det = detectors_of(syn)
+    # free functions (reference decode!/batchdecode! contract)
+    e_b, c_b = lt.batchdecode(dec, det, seed=5)
+    e_1, c_1 = lt.decode(dec, det[0], seed=5)
+    np.testing.assert_array_equal(e_1, e_b[0])
+    assert bool(c_1) == bool(c_b[0])
+    # async dispatch returns device arrays, reads match sync
+    e_a, c_a = dec.batch_decode_async(det, seed=5)
+    np.testing.assert_array_equal(np.asarray(e_a), e_b)
+    # detailed path carries DecodeStats
+    *_, stats = dec.batch_decode_detailed(det, seed=5)
+    assert isinstance(stats, DecodeStats) and stats.batch_size == 8
+
+
+def test_detector_is_a_decoder():
+    from ldpcdecoders_tpu.models.detector import DetectorGraphDecoder, load_dem
+    from ldpcdecoders_tpu.models.base import DecodeStats
+
+    A, priors, O = load_dem(
+        "error(0.05) D0 L0\nerror(0.05) D0 D1\nerror(0.05) D1 D2\n"
+        "error(0.05) D2 L0\n")
+    dec = DetectorGraphDecoder(A, priors, 20, observables=O)
+    assert isinstance(dec, lt.Decoder)
+    assert dec.m == dec.D == 3 and dec.n == dec.N == 4
+    det = np.array([[1, 0, 0], [0, 1, 1]], np.uint8)
+    e_b, c_b = lt.batchdecode(dec, det, seed=2)
+    e_1, c_1 = lt.decode(dec, det[0], seed=2)
+    np.testing.assert_array_equal(e_1, e_b[0])
+    *_, stats = dec.batch_decode_detailed(det, seed=2)
+    assert isinstance(stats, DecodeStats) and stats.batch_size == 2
+
+
+def test_wrapper_config_kinds_roundtrip_and_build():
+    """DecoderConfig kinds 'spacetime'/'window'/'detector' JSON
+    round-trip and build working decoders."""
+    from ldpcdecoders_tpu import DecoderConfig
+
+    H = lt.toric_code_x(3)
+    cfg = DecoderConfig(kind="spacetime", per=0.01, max_iters=25, rounds=2,
+                        meas_error_rate=0.02, inner_kind="bposd")
+    assert DecoderConfig.from_json(cfg.to_json()) == cfg
+    dec = cfg.build(H)
+    assert isinstance(dec, SpaceTimeDecoder) and dec.rounds == 2
+    rng = np.random.default_rng(3)
+    syn, _ = _history(H, 4, 2, 0.01, 0.02, rng)
+    errs, conv = dec.batch_decode(detectors_of(syn))
+    assert errs.shape == (4, H.shape[1])
+
+    wcfg = DecoderConfig(kind="window", per=0.01, max_iters=25, window=3,
+                         commit=1)
+    assert DecoderConfig.from_json(wcfg.to_json()) == wcfg
+    from ldpcdecoders_tpu.models.window import SlidingWindowDecoder
+    assert isinstance(wcfg.build(H), SlidingWindowDecoder)
+
+    from ldpcdecoders_tpu.models.detector import DetectorGraphDecoder
+    dcfg = DecoderConfig(kind="detector", max_iters=20)
+    A = np.eye(3, dtype=np.uint8)
+    ddec = dcfg.build((A, [0.1, 0.1, 0.1]))
+    assert isinstance(ddec, DetectorGraphDecoder)
+    with pytest.raises(ValueError, match="detector"):
+        dcfg.build(A)  # not a tuple and no dem_path
+    with pytest.raises(ValueError, match="wrapper"):
+        DecoderConfig(kind="spacetime", inner_kind="window")
+
+
+def test_spacetime_decode_batch_traces_under_jit():
+    """The whole _decode_batch (with a fused inner) compiles as ONE XLA
+    program — what lets the evaluation harness fuse sampling + decode +
+    verification on device."""
+    import jax
+
+    H = lt.toric_code_x(3)
+    R = 2
+    dec = SpaceTimeDecoder(H, R, 0.01, max_iters=20, decoder="bposd",
+                           fused=True)
+    rng = np.random.default_rng(17)
+    syn, _ = _history(H, 8, R, 0.01, 0.01, rng)
+    det = detectors_of(syn).astype(np.uint8)
+
+    @jax.jit
+    def step(d, per):
+        e, conv, iters, _ = dec._decode_batch(d, 3, per=per, q=per)
+        return e, conv
+
+    e_j, c_j = step(det, 0.01)
+    e_e, c_e = dec.batch_decode(det, seed=3, per=0.01, q=0.01)
+    np.testing.assert_array_equal(np.asarray(e_j), np.asarray(e_e))
+    np.testing.assert_array_equal(np.asarray(c_j), np.asarray(c_e))
+
+
+def test_fersweep_drives_detector_decoder():
+    """FERSweep treats a DetectorGraphDecoder like any Decoder: H = the
+    detector matrix, errors = mechanisms (VERDICT r2 #4 'FERSweep
+    integration')."""
+    from ldpcdecoders_tpu.harness import FERSweep
+    from ldpcdecoders_tpu.models.detector import DetectorGraphDecoder, load_dem
+
+    A, priors, O = load_dem(
+        "error(0.05) D0 L0\nerror(0.05) D0 D1\nerror(0.05) D1 D2\n"
+        "error(0.05) D2 L0\n")
+    Ad = np.asarray(A.todense())
+    sweep = FERSweep(
+        Ad,
+        lambda per: DetectorGraphDecoder(Ad, np.full(4, per), 20,
+                                         observables=O),
+        [0.03], batch=64, seed=7)
+    out = sweep.run(trials_per_point=128)
+    assert out[0.03]["trials"] == 128
+    assert out[0.03]["syndrome_match_rate"] == 1.0  # OSD consistency
