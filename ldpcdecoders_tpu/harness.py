@@ -616,6 +616,9 @@ def css_logical_sweep(
     batch: int = 256,
     seed: int = 0,
     loss_rate: float = 0.0,
+    on_device: bool | None = None,
+    pipeline: int = 4,
+    max_seconds: float | None = None,
     **knobs,
 ) -> dict:
     """Degeneracy-aware logical-error-rate sweep of a CSS code pair.
@@ -651,6 +654,29 @@ def css_logical_sweep(
     Hx = np.asarray(Hx) if not hasattr(Hx, "tocsr") else Hx
     Hz = np.asarray(Hz) if not hasattr(Hz, "tocsr") else Hz
     n = Hx.shape[1]
+    _prior_capable = ("bp", "bposd", "minsum", "layered_minsum", "bpots",
+                      "neural_minsum")
+    if (loss_rate == 0.0 and on_device is not False
+            and decoder in _prior_capable
+            and not (decoder == "minsum" and knobs.get("use_pallas"))):
+        # perfect-measurement decoding IS the rounds=1 space-time problem
+        # (bit-identical inner programs), so the loss-free sweep shares the
+        # fully device-resident pipeline: sampling, both block decodes, and
+        # the stabilizer-equivalence verdict in one program per batch,
+        # `pipeline` batches in flight
+        res = spacetime_logical_sweep(
+            Hx, Hz, pers, rounds=1, trials_per_point=trials_per_point,
+            max_iters=max_iters, decoder=decoder, batch=batch, seed=seed,
+            pipeline=pipeline, on_device=on_device,
+            max_seconds=max_seconds, **knobs)
+        out = {}
+        for per, pt in res.items():
+            pt = dict(pt)
+            pt.pop("rounds", None)
+            pt.pop("meas_error_rate", None)
+            pt["throughput_pairs_per_s"] = pt.pop("throughput_shots_per_s")
+            out[per] = pt
+        return out
     out = {}
     # one decoder pair compiled at the first noise point, later points
     # passed as traced prior overrides (FERSweep's shared-program
@@ -858,6 +884,98 @@ def mixed_fer_sweep(
     return out
 
 
+def _spacetime_sample(key, Hd, per, q, b: int, R: int):
+    """Device-side phenomenological sampler: ``b`` shots of ``R`` noisy
+    measurement rounds of the dense ``[m, n]`` block ``Hd``.
+
+    Pure and jittable (also callable eagerly for tests): fresh iid data
+    errors at rate ``per`` per round, cumulative error via an int32
+    cumsum, syndromes via one exact f32 MXU matmul per history, readout
+    flips at rate ``q`` everywhere except the (perfect) final round, and
+    the XOR-difference detector record.
+
+    Returns ``(cum_last [b, n] int32, detectors [b, R*m] uint8)``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    m = Hd.shape[0]
+    n = Hd.shape[1]
+    ke, ku = jax.random.split(key)
+    e = jax.random.bernoulli(ke, per, (b, R, n))
+    cum = jnp.cumsum(e.astype(jnp.int32), axis=1) & 1  # [b, R, n]
+    syn = jnp.mod(
+        cum.reshape(b * R, n).astype(jnp.float32) @ Hd.T, 2.0
+    ).astype(jnp.int32).reshape(b, R, m)
+    u = jax.random.bernoulli(ku, q, (b, R, m)).astype(jnp.int32)
+    u = u.at[:, R - 1].set(0)  # perfect final readout
+    syn = syn ^ u
+    det = jnp.concatenate([syn[:, :1], syn[:, 1:] ^ syn[:, :-1]], axis=1)
+    return cum[:, -1], det.reshape(b, R * m).astype(jnp.uint8)
+
+
+def _make_spacetime_pair_step(dec_x, dec_z, Hx, Hz, Lx, Lz, b: int):
+    """ONE device program for a whole evaluation batch of both blocks:
+    sample -> detectors -> decode -> degeneracy-verify -> count.
+
+    The round-2 sweep rebuilt syndromes with per-round host loops and
+    reduced residuals through the host bit-packed RREF every batch
+    (~200 shots/s on a chip whose FER harness pipelines 90k/s); here the
+    entire shot — including the stabilizer-equivalence check, via the
+    :func:`~.utils.metrics.css_logical_operators` matmul form — lives on
+    device, and only a ``[6]`` int32 count vector is fetched per batch.
+
+    ``per`` / ``q`` / seeds are traced arguments, so one compiled
+    program serves every noise point and every step of the sweep.
+
+    Returns a jitted ``step(noise_seed, decode_seed, per, q) ->
+    [zfail, xfail, anyfail, zconv, xconv, iters]`` (int32).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    R = dec_x.rounds
+    Hxd = jnp.asarray(np.asarray(Hx.todense() if hasattr(Hx, "todense")
+                                 else Hx), jnp.float32)
+    Hzd = jnp.asarray(np.asarray(Hz.todense() if hasattr(Hz, "todense")
+                                 else Hz), jnp.float32)
+    Lxd = jnp.asarray(np.asarray(Lx), jnp.float32)
+    Lzd = jnp.asarray(np.asarray(Lz), jnp.float32)
+
+    def block(key, dec, Hd, Ld, decode_seed, per, q):
+        cum_last, det = _spacetime_sample(key, Hd, per, q, b, R)
+        e_hat, conv, iters, _ = dec._decode_batch(det, decode_seed,
+                                                  per=per, q=q)
+        resid = (cum_last ^ e_hat.astype(jnp.int32)).astype(jnp.float32)
+        # residual is a stabilizer iff H @ r == 0 AND L @ r == 0 (mod 2);
+        # both products are exact in f32 (row sums far below 2^24)
+        fail = jnp.any(jnp.mod(resid @ Hd.T, 2.0) != 0, axis=1)
+        if Ld.shape[0]:
+            fail = fail | jnp.any(jnp.mod(resid @ Ld.T, 2.0) != 0, axis=1)
+        return fail, conv, iters
+
+    def step(noise_seed, decode_seed, per, q):
+        kx, kz = jax.random.split(jax.random.PRNGKey(noise_seed))
+        zfail, zconv, zit = block(kx, dec_x, Hxd, Lxd, decode_seed, per, q)
+        xfail, xconv, xit = block(kz, dec_z, Hzd, Lzd, decode_seed + 1,
+                                  per, q)
+        return jnp.stack([
+            jnp.sum(zfail, dtype=jnp.int32),
+            jnp.sum(xfail, dtype=jnp.int32),
+            jnp.sum(zfail | xfail, dtype=jnp.int32),
+            jnp.sum(zconv, dtype=jnp.int32),
+            jnp.sum(xconv, dtype=jnp.int32),
+            jnp.sum(zit, dtype=jnp.int32) + jnp.sum(xit, dtype=jnp.int32),
+        ])
+
+    return jax.jit(step)
+
+
+# dense block size above which the device sweep would allocate an
+# unreasonable [m, n] f32 operand (falls back to the host loop)
+_DEVICE_SWEEP_MAX_DENSE = 50_000_000
+
+
 def spacetime_logical_sweep(
     Hx,
     Hz,
@@ -870,6 +988,9 @@ def spacetime_logical_sweep(
     decoder: str = "bposd",
     batch: int = 256,
     seed: int = 0,
+    pipeline: int = 4,
+    on_device: bool | None = None,
+    max_seconds: float | None = None,
     **knobs,
 ) -> dict:
     """Phenomenological-noise logical-error sweep: ``rounds`` noisy
@@ -886,66 +1007,126 @@ def spacetime_logical_sweep(
     accounting as :func:`css_logical_sweep`).  ``rounds=1`` reproduces
     css_logical_sweep's perfect-measurement setting exactly.
 
+    By default the whole evaluation step — noise sampling, detector
+    construction, the joint decode, and the stabilizer-equivalence
+    verdict — is ONE jitted device program per batch of shots, with
+    ``pipeline`` batches in flight and only a ``[6]`` count vector
+    fetched per batch (see :func:`_make_spacetime_pair_step`); noise
+    then comes from ``jax.random`` streams keyed by the same
+    ``(seed, point, step)`` derivation — statistically equivalent but
+    not bitwise comparable with the host-sampled fallback (FERSweep's
+    ``sample_on_device`` caveat).  The host loop remains the fallback
+    for sparse/oversized blocks, untraceable decoder kinds, and
+    ``on_device=False``; for ``decoder="bposd"`` the device path builds
+    the inner with ``fused=True`` (identical outputs, traceable).
+
     RNG discipline matches FERSweep: each (point, batch) consumes its
     own counted stream derived from ``(seed, per, step)``.
+    ``max_seconds`` stops cleanly mid-sweep, returning what accumulated.
 
     Returns ``{per: {"trials", "rounds", "z_logical_rate",
     "x_logical_rate", "any_logical_rate", *_ci95, "z_converged",
-    "x_converged", "throughput_shots_per_s"}}``.
+    "x_converged", "mean_iters", "throughput_shots_per_s",
+    "device_sampled"}}``.
     """
     from .models.spacetime import SpaceTimeDecoder
-    from .utils.metrics import gf2_rowspan_reducer
 
     R = int(rounds)
-    dec_x = SpaceTimeDecoder(Hx, R, float(pers[0]), max_iters,
-                             meas_error_rate=meas_error_rate,
-                             decoder=decoder, **knobs)
-    dec_z = SpaceTimeDecoder(Hz, R, float(pers[0]), max_iters,
-                             meas_error_rate=meas_error_rate,
-                             decoder=decoder, **knobs)
-    z_span = gf2_rowspan_reducer(Hz)  # Z residuals must be Z stabilizers
-    x_span = gf2_rowspan_reducer(Hx)
-    n = dec_x.n
+    dense_ok = (Hx.shape[0] * Hx.shape[1] + Hz.shape[0] * Hz.shape[1]
+                <= _DEVICE_SWEEP_MAX_DENSE)
+    use_dev = dense_ok if on_device is None else bool(on_device)
+    dec_kw = dict(meas_error_rate=meas_error_rate, decoder=decoder, **knobs)
+    if use_dev and decoder == "bposd" and "fused" not in knobs:
+        # the compacting OSD path gathers failing lanes on host (never
+        # traceable); the fused cond-gated program is output-identical
+        dec_kw["fused"] = True
+    dec_x = SpaceTimeDecoder(Hx, R, float(pers[0]), max_iters, **dec_kw)
+    dec_z = SpaceTimeDecoder(Hz, R, float(pers[0]), max_iters, **dec_kw)
+    dev_steps: dict[int, Callable] = {}
+    if use_dev:
+        from .cache import ensure_default_cache
+        from .utils.metrics import css_logical_operators
+
+        ensure_default_cache()
+        Lx = css_logical_operators(Hx, Hz)  # Z residuals vs rowspan(Hz)
+        Lz = css_logical_operators(Hz, Hx)
+
+        def dev_step_for(b):
+            if b not in dev_steps:
+                dev_steps[b] = _make_spacetime_pair_step(
+                    dec_x, dec_z, Hx, Hz, Lx, Lz, b)
+            return dev_steps[b]
+    else:
+        from .utils.metrics import gf2_rowspan_reducer
+
+        z_span = gf2_rowspan_reducer(Hz)  # Z residuals must be Z stabilizers
+        x_span = gf2_rowspan_reducer(Hx)
+    n = dec_x.block_n
+    depth = max(1, int(pipeline)) if use_dev else 1
+    t_start = time.perf_counter()
     out = {}
     for per in pers:
         q = float(per) if meas_error_rate is None else float(meas_error_rate)
         per_hash = int(per * 1e9) & 0x7FFFFFFF
-        trials = zf = xf = anyf = zc = xc = 0
+        trials = zf = xf = anyf = zc = xc = iters_sum = 0
         step = 0
+        inflight: list = []  # (counts_device_array, b)
         t0 = time.perf_counter()
-        while trials < trials_per_point:
-            b = min(batch, trials_per_point - trials)
+
+        def finalize_one():
+            nonlocal trials, zf, xf, anyf, zc, xc, iters_sum, inflight_trials
+            v, b = inflight.pop(0)
+            v = np.asarray(v)
+            trials += b
+            inflight_trials -= b
+            zf += int(v[0])
+            xf += int(v[1])
+            anyf += int(v[2])
+            zc += int(v[3])
+            xc += int(v[4])
+            iters_sum += int(v[5])
+
+        inflight_trials = 0
+        stopping = False
+        while trials + inflight_trials < trials_per_point or inflight:
+            if max_seconds is not None and not stopping and (
+                    time.perf_counter() - t_start) >= max_seconds:
+                stopping = True
+            if stopping and not inflight:
+                break
+            want_more = (not stopping
+                         and trials + inflight_trials < trials_per_point)
+            if not want_more or len(inflight) >= depth:
+                finalize_one()
+                continue
+            b = min(batch, trials_per_point - trials - inflight_trials)
             rng = np.random.default_rng((seed, per_hash, step))
             decode_seed = int(np.random.default_rng(
                 (seed, per_hash, step, 0xDEC0DE)).integers(1 << 31))
+            if use_dev:
+                noise_seed = int(np.random.default_rng(
+                    (seed, per_hash, step, 0x5A3D)).integers(1 << 31))
+                try:
+                    counts = dev_step_for(b)(noise_seed, decode_seed,
+                                             float(per), q)
+                except Exception:
+                    # untraceable decoder kind: permanent host fallback
+                    use_dev = False
+                    depth = 1
+                    from .utils.metrics import gf2_rowspan_reducer
 
-            def run(dec, H_det, span, s_off):
-                # fresh errors per round -> cumulative -> noisy syndromes
-                e = sample_errors(rng, b * R, n, per).reshape(b, R, n)
-                cum = (np.cumsum(e, axis=1) & 1).astype(np.uint8)
-                syn = np.stack([syndromes_of(H_det, cum[:, r]) for r in range(R)],
-                               axis=1)
-                u = sample_errors(rng, b * R, dec.block_m, q).reshape(
-                    b, R, dec.block_m)
-                u[:, -1] = 0  # perfect final readout
-                syn ^= u.astype(np.uint8)
-                from .codes.spacetime import detectors_of
-                det = detectors_of(syn)
-                e_hat, conv = dec.batch_decode(det, seed=decode_seed + s_off,
-                                               per=float(per), q=q)
-                resid = cum[:, -1] ^ np.asarray(e_hat).astype(np.uint8)
-                return ~span(resid), np.asarray(conv)
-
-            zfail, zconv = run(dec_x, Hx, z_span, 0)  # Hx detects Z errors
-            xfail, xconv = run(dec_z, Hz, x_span, 1)
-            trials += b
+                    z_span = gf2_rowspan_reducer(Hz)
+                    x_span = gf2_rowspan_reducer(Hx)
+            if not use_dev:
+                counts = _spacetime_host_step(
+                    dec_x, dec_z, Hx, Hz, z_span, x_span, rng, decode_seed,
+                    b, R, n, float(per), q)
+            inflight.append((counts, b))
+            inflight_trials += b
             step += 1
-            zf += int(zfail.sum())
-            xf += int(xfail.sum())
-            anyf += int((zfail | xfail).sum())
-            zc += int(zconv.sum())
-            xc += int(xconv.sum())
         dt = time.perf_counter() - t0
+        if not trials:
+            continue
         z_lo, z_hi = wilson_interval(zf, trials)
         x_lo, x_hi = wilson_interval(xf, trials)
         a_lo, a_hi = wilson_interval(anyf, trials)
@@ -962,6 +1143,39 @@ def spacetime_logical_sweep(
             "any_logical_ci95": [a_lo, a_hi],
             "z_converged": zc / trials,
             "x_converged": xc / trials,
+            "mean_iters": iters_sum / (2 * trials),
             "throughput_shots_per_s": trials / dt if dt else 0.0,
+            "device_sampled": bool(use_dev),
         }
+        if stopping:
+            break
     return out
+
+
+def _spacetime_host_step(dec_x, dec_z, Hx, Hz, z_span, x_span, rng,
+                         decode_seed, b, R, n, per, q):
+    """Host-sampled fallback batch (NumPy counted streams — the original
+    round-2 loop, kept for sparse/oversized blocks and untraceable
+    decoder kinds).  Returns the same [6] counts as the device step."""
+    from .codes.spacetime import detectors_of
+
+    def run(dec, H_det, span, s_off):
+        # fresh errors per round -> cumulative -> noisy syndromes
+        e = sample_errors(rng, b * R, n, per).reshape(b, R, n)
+        cum = (np.cumsum(e, axis=1) & 1).astype(np.uint8)
+        syn = np.stack([syndromes_of(H_det, cum[:, r]) for r in range(R)],
+                       axis=1)
+        u = sample_errors(rng, b * R, dec.block_m, q).reshape(
+            b, R, dec.block_m)
+        u[:, -1] = 0  # perfect final readout
+        syn ^= u.astype(np.uint8)
+        det = detectors_of(syn)
+        e_hat, conv, iters, _, _ = dec.batch_decode_detailed(
+            det, seed=decode_seed + s_off, per=per, q=q)
+        resid = cum[:, -1] ^ np.asarray(e_hat).astype(np.uint8)
+        return ~span(resid), np.asarray(conv), int(np.asarray(iters).sum())
+
+    zfail, zconv, zit = run(dec_x, Hx, z_span, 0)  # Hx detects Z errors
+    xfail, xconv, xit = run(dec_z, Hz, x_span, 1)
+    return np.array([zfail.sum(), xfail.sum(), (zfail | xfail).sum(),
+                     zconv.sum(), xconv.sum(), zit + xit], np.int64)

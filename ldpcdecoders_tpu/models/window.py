@@ -17,12 +17,20 @@ so each window decodes an *adjusted* detector slice and the whole
 stream telescopes — the final cumulative estimate exactly reproduces
 the final perfect syndrome (tested), just like a full-history decode.
 
-TPU shape notes: every mid-stream window reuses ONE compiled program
-(same ``[B, W*m]`` detector shape, same graph); only the final closed
-window compiles a second program per distinct tail length.  Throughput
-is therefore ``C`` rounds of latency per device dispatch, independent
-of stream length, and the decode state carried between windows is a
-single ``[B, m]`` XOR mask plus the committed correction.
+TPU streaming notes: every mid-stream window is ONE jitted program
+(decode + commit-XOR + carry extraction fused); the ``[B, m]`` carry
+mask, the accumulated correction ``E``, and the convergence tally all
+stay device-resident between windows, so a whole stream dispatches
+with NO device->host transfer until the final fetch — window ``k+1``
+is enqueued while ``k`` is still decoding (XLA async dispatch), which
+is what makes the decoder real-time rather than sync-per-window (the
+round-2 loop fetched ``conv`` to host between windows).  Only the
+final closed window compiles a second program per distinct tail
+length.  Decoder kinds whose ``_decode_batch`` doesn't trace fall back
+to an eager host loop with identical outputs; for the default
+``bposd`` the inner is built ``fused=True`` (output-identical, and the
+cond-gated OSD keeps the common all-converged window at plain-BP
+cost).
 """
 
 from __future__ import annotations
@@ -61,6 +69,10 @@ class SlidingWindowDecoder:
             raise ValueError(
                 f"commit must be in [1, window), got {commit} (window={window})")
         self.window, self.commit = W, C
+        if decoder == "bposd" and "fused" not in knobs:
+            # the compacting OSD-0 path syncs to host per window; the
+            # fused cond-gated program is output-identical and traceable
+            knobs = dict(knobs, fused=True)
         self._mk = dict(per=per, max_iters=max_iters,
                         meas_error_rate=meas_error_rate, decoder=decoder,
                         **knobs)
@@ -75,6 +87,9 @@ class SlidingWindowDecoder:
         # per-round block shapes (NOT the open decoder's R*m record length)
         self.m, self.n = self._open.block_m, self._open.block_n
         self._Hs = H
+        self._mid_step = None  # jitted mid-stream window program
+        self._tail_steps: dict[int, object] = {}
+        self._jit_ok = True  # latches False if the inner doesn't trace
 
     def _tail(self, rounds: int) -> SpaceTimeDecoder:
         if rounds not in self._closed:
@@ -86,6 +101,50 @@ class SlidingWindowDecoder:
                    if k not in ("per", "max_iters", "meas_error_rate",
                                 "decoder")})
         return self._closed[rounds]
+
+    # -- device-chained streaming steps -------------------------------------
+
+    def _make_mid_step(self):
+        import jax
+        import jax.numpy as jnp
+
+        W, C, m = self.window, self.commit, self.m
+        dec = self._open
+
+        def step(win, carry, E, conv_sum, seed):
+            # win: [B, W, m] detector slice; carry: [B, m] committed u
+            win = win.astype(jnp.int32)
+            win = win.at[:, 0].set(win[:, 0] ^ carry)
+            B = win.shape[0]
+            _, conv, _, aux = dec._decode_batch(
+                win.reshape(B, W * m).astype(jnp.uint8), seed)
+            data = aux["data_rounds"].astype(jnp.int32)
+            meas = aux["meas"].astype(jnp.int32)
+            E = E ^ (jnp.sum(data[:, :C], axis=1) & 1)
+            carry = meas[:, C - 1] & 1
+            return E, carry, conv_sum + jnp.mean(conv.astype(jnp.float32))
+
+        return jax.jit(step)
+
+    def _make_tail_step(self, rem: int):
+        import jax
+        import jax.numpy as jnp
+
+        m = self.m
+        dec = self._tail(rem)
+
+        def step(win, carry, E, conv_sum, seed):
+            win = win.astype(jnp.int32)
+            win = win.at[:, 0].set(win[:, 0] ^ carry)
+            B = win.shape[0]
+            e_tail, conv, _, _ = dec._decode_batch(
+                win.reshape(B, rem * m).astype(jnp.uint8), seed)
+            E = (E ^ e_tail.astype(jnp.int32)).astype(jnp.int8)
+            return E, conv_sum + jnp.mean(conv.astype(jnp.float32))
+
+        return jax.jit(step)
+
+    # -- public API ----------------------------------------------------------
 
     def decode_stream(self, syndromes, *, seed: int = 0):
         """Decode a full measured stream ``[B, R, m]`` (last round
@@ -109,6 +168,49 @@ class SlidingWindowDecoder:
         if d.ndim != 3 or d.shape[2] != self.m:
             raise ValueError(
                 f"expected detectors of shape [B, R, {self.m}], got {d.shape}")
+        if self._jit_ok:
+            try:
+                return self._decode_stream_device(d, seed)
+            except Exception:
+                self._jit_ok = False  # untraceable inner: eager fallback
+        return self._decode_stream_host(d, seed)
+
+    def _decode_stream_device(self, d, seed: int):
+        """Whole-stream device chain: all windows dispatched without a
+        host sync; one fetch at the end."""
+        import jax.numpy as jnp
+
+        B, R, m = d.shape
+        W, C = self.window, self.commit
+        if self._mid_step is None:
+            self._mid_step = self._make_mid_step()
+        E = jnp.zeros((B, self.n), jnp.int32)
+        carry = jnp.zeros((B, m), jnp.int32)
+        conv_sum = jnp.float32(0.0)
+        t = 0
+        n_windows = 0
+        step = 0
+        while R - t > W:
+            E, carry, conv_sum = self._mid_step(
+                d[:, t: t + W], carry, E, conv_sum, seed + step)
+            t += C
+            n_windows += 1
+            step += 1
+        rem = R - t
+        if rem not in self._tail_steps:
+            self._tail_steps[rem] = self._make_tail_step(rem)
+        E, conv_sum = self._tail_steps[rem](
+            d[:, t:], carry, E, conv_sum, seed + step)
+        n_windows += 1
+        return np.asarray(E).astype(np.int8), {
+            "windows": n_windows,
+            "converged": float(np.asarray(conv_sum)) / n_windows,
+            "rounds": R,
+        }
+
+    def _decode_stream_host(self, d, seed: int):
+        """Eager fallback (identical outputs): for inner decoder kinds
+        with host-side orchestration that cannot trace."""
         B, R, m = d.shape
         W, C = self.window, self.commit
         E = np.zeros((B, self.n), np.uint8)

@@ -427,3 +427,114 @@ def test_fersweep_drives_detector_decoder():
     out = sweep.run(trials_per_point=128)
     assert out[0.03]["trials"] == 128
     assert out[0.03]["syndrome_match_rate"] == 1.0  # OSD consistency
+
+
+# ------------------------------------------------- device-resident sweep
+
+
+def test_device_step_counts_match_host_verification():
+    """One _make_spacetime_pair_step batch, recomputed on host: sampling
+    via the same keys, decode via the public API, degeneracy via the
+    bit-packed rowspan reducer — counts must agree exactly."""
+    import jax
+    from ldpcdecoders_tpu.harness import (
+        _make_spacetime_pair_step,
+        _spacetime_sample,
+    )
+    from ldpcdecoders_tpu.models.spacetime import SpaceTimeDecoder
+    from ldpcdecoders_tpu.utils.metrics import (
+        css_logical_operators,
+        gf2_rowspan_reducer,
+    )
+
+    Hx, Hz = lt.toric_code_x(3), lt.toric_code_z(3)
+    R, per, q, b = 3, 0.02, 0.02, 32
+    dec_x = SpaceTimeDecoder(Hx, R, per, 40, decoder="bposd", fused=True)
+    dec_z = SpaceTimeDecoder(Hz, R, per, 40, decoder="bposd", fused=True)
+    Lx = css_logical_operators(Hx, Hz)
+    Lz = css_logical_operators(Hz, Hx)
+    step = _make_spacetime_pair_step(dec_x, dec_z, Hx, Hz, Lx, Lz, b)
+    noise_seed, decode_seed = 12345, 777
+    counts = np.asarray(step(noise_seed, decode_seed, per, q))
+
+    # host recomputation on the identical jax.random streams
+    kx, kz = jax.random.split(jax.random.PRNGKey(noise_seed))
+    import jax.numpy as jnp
+
+    def host_block(key, dec, H, span, ds):
+        cum, det = _spacetime_sample(
+            key, jnp.asarray(np.asarray(H), jnp.float32), per, q, b, R)
+        e_hat, conv = dec.batch_decode(np.asarray(det), seed=ds,
+                                       per=per, q=q)
+        resid = np.asarray(cum).astype(np.uint8) ^ e_hat.astype(np.uint8)
+        return ~span(resid), conv
+
+    z_span = gf2_rowspan_reducer(Hz)
+    x_span = gf2_rowspan_reducer(Hx)
+    zfail, zconv = host_block(kx, dec_x, Hx, z_span, decode_seed)
+    xfail, xconv = host_block(kz, dec_z, Hz, x_span, decode_seed + 1)
+    assert counts[0] == zfail.sum()
+    assert counts[1] == xfail.sum()
+    assert counts[2] == (zfail | xfail).sum()
+    assert counts[3] == zconv.sum()
+    assert counts[4] == xconv.sum()
+
+
+def test_device_and_host_sweeps_agree_statistically():
+    """jax.random vs NumPy noise streams: same physics, different bits —
+    rates must land inside each other's 95% Wilson intervals."""
+    Hx, Hz = lt.toric_code_x(3), lt.toric_code_z(3)
+    kw = dict(rounds=2, trials_per_point=768, max_iters=40, batch=256,
+              seed=3)
+    dev = spacetime_logical_sweep(Hx, Hz, [0.03], on_device=True, **kw)
+    host = spacetime_logical_sweep(Hx, Hz, [0.03], on_device=False, **kw)
+    d, h = dev[0.03], host[0.03]
+    assert d["device_sampled"] and not h["device_sampled"]
+    assert d["trials"] == h["trials"] == 768
+    lo, hi = h["any_logical_ci95"]
+    assert lo - 0.02 <= d["any_logical_rate"] <= hi + 0.02, (d, h)
+
+
+def test_device_sweep_is_reproducible_and_time_bounded():
+    Hx, Hz = lt.toric_code_x(3), lt.toric_code_z(3)
+    kw = dict(rounds=2, trials_per_point=128, max_iters=30, batch=64, seed=9)
+    a = spacetime_logical_sweep(Hx, Hz, [0.02], **kw)
+    b = spacetime_logical_sweep(Hx, Hz, [0.02], **kw)
+    assert a[0.02]["any_logical_rate"] == b[0.02]["any_logical_rate"]
+    assert a[0.02]["z_logical_rate"] == b[0.02]["z_logical_rate"]
+    # max_seconds=0 stops before any batch at the SECOND point
+    c = spacetime_logical_sweep(Hx, Hz, [0.02, 0.03], max_seconds=0.0, **kw)
+    assert len(c) <= 1
+
+
+def test_css_sweep_delegates_to_device_pipeline():
+    from ldpcdecoders_tpu.harness import css_logical_sweep
+
+    Hx, Hz = lt.toric_code_x(3), lt.toric_code_z(3)
+    out = css_logical_sweep(Hx, Hz, [0.02], trials_per_point=128, batch=64,
+                            seed=4, max_iters=30)
+    pt = out[0.02]
+    assert pt["device_sampled"]
+    assert "throughput_pairs_per_s" in pt and "rounds" not in pt
+    assert pt["trials"] == 128
+    # non-prior-capable kinds keep the host CSSDecoder path
+    out2 = css_logical_sweep(Hx, Hz, [0.02], trials_per_point=64, batch=64,
+                             seed=4, max_iters=30, decoder="bitflip")
+    assert out2[0.02]["trials"] == 64
+
+
+def test_window_device_stream_matches_host_stream():
+    """The device-chained streaming loop and the eager host fallback
+    are the same math — bit-identical corrections."""
+    from ldpcdecoders_tpu.models.window import SlidingWindowDecoder
+
+    H = lt.toric_code_x(3)
+    rng = np.random.default_rng(31)
+    syn, _ = _history(H, 16, 7, 0.015, 0.015, rng)
+    det = detectors_of(syn).reshape(16, 7, H.shape[0])
+    win = SlidingWindowDecoder(H, 0.015, max_iters=40, window=3, commit=1)
+    E_d, info_d = win.decode_detector_stream(det, seed=3)
+    E_h, info_h = win._decode_stream_host(det.astype(np.uint8), 3)
+    np.testing.assert_array_equal(E_d, E_h)
+    assert info_d["windows"] == info_h["windows"]
+    assert abs(info_d["converged"] - info_h["converged"]) < 1e-6
