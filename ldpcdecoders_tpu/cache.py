@@ -17,6 +17,39 @@ __all__ = ["enable_compilation_cache"]
 _configured = False
 
 
+def _machine_signature() -> str:
+    """Short host signature folded into the default cache directory.
+
+    XLA's persistent-cache key does not cover host CPU features, so an
+    XLA:CPU AOT executable compiled on a machine with e.g.
+    ``+prefer-no-gather`` can be loaded on one without it — XLA warns
+    "could lead to SIGILL" (observed in the round-2 multichip dryrun
+    tail).  Keying the directory on (jaxlib version, arch, CPU-flags
+    hash) makes each machine type use its own cache, eliminating the
+    cross-host load entirely.
+    """
+    import hashlib
+    import platform
+
+    try:
+        import jaxlib
+
+        ver = getattr(jaxlib, "__version__", "unknown")
+    except Exception:
+        ver = "unknown"
+    feats = ""
+    try:  # Linux: the CPU feature flags line is the authoritative list
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.lower().startswith(("flags", "features")):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        feats = platform.processor()
+    h = hashlib.sha256(feats.encode()).hexdigest()[:12]
+    return f"{ver}-{platform.machine()}-{h}"
+
+
 def ensure_default_cache() -> None:
     """Idempotently enable the persistent cache with default settings.
 
@@ -45,7 +78,10 @@ def ensure_default_cache() -> None:
 def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
     """Point JAX's persistent compilation cache at ``cache_dir``.
 
-    Defaults to ``$LDPC_JAX_CACHE`` or ``~/.cache/ldpcdecoders_tpu/xla``.
+    Defaults to ``$LDPC_JAX_CACHE`` or
+    ``~/.cache/ldpcdecoders_tpu/xla/<machine-signature>`` — the per-host
+    leaf (see :func:`_machine_signature`) keeps AOT executables from
+    crossing machine types.  An explicit ``cache_dir`` is used verbatim.
     The opt-out sentinels ``LDPC_JAX_CACHE=0|off|none`` disable caching
     here too (so CLI/bench entry points honor them) and return None.
     Returns the directory used, or None if disabled or configuration
@@ -61,6 +97,7 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
             os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
             "ldpcdecoders_tpu",
             "xla",
+            _machine_signature(),
         )
     try:
         os.makedirs(cache_dir, exist_ok=True)

@@ -46,3 +46,25 @@ def test_ensure_respects_application_config(fresh_cache_state, monkeypatch, tmp_
     jax.config.update("jax_compilation_cache_dir", str(tmp_path))
     cache_mod.ensure_default_cache()
     assert jax.config.jax_compilation_cache_dir == str(tmp_path)
+
+
+def test_default_dir_is_machine_guarded(fresh_cache_state, monkeypatch, tmp_path):
+    """The default cache dir ends in a host signature so XLA:CPU AOT
+    executables never load across machines with different CPU features
+    (the round-2 "could lead to SIGILL" dryrun warnings)."""
+    monkeypatch.delenv("LDPC_JAX_CACHE", raising=False)
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
+    jax.config.update("jax_compilation_cache_dir", None)
+    used = cache_mod.enable_compilation_cache()
+    sig = cache_mod._machine_signature()
+    assert used is not None and used.endswith(os.sep + sig)
+    assert sig == cache_mod._machine_signature()  # deterministic
+    # signature is filesystem-safe and carries arch + feature hash
+    assert "/" not in sig and sig.count("-") >= 2
+
+
+def test_explicit_dir_is_used_verbatim(fresh_cache_state, monkeypatch, tmp_path):
+    """An explicit cache_dir argument is NOT re-keyed (caller's choice)."""
+    jax.config.update("jax_compilation_cache_dir", None)
+    target = tmp_path / "mine"
+    assert cache_mod.enable_compilation_cache(str(target)) == str(target)
