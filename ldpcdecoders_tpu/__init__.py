@@ -34,6 +34,11 @@ from .codes import (
     spacetime_pcm,
     spacetime_prior,
     detectors_of,
+    StabilizerCircuit,
+    css_memory_circuit,
+    circuit_dem,
+    dem_text,
+    sample_circuit,
 )
 from .models import (
     Decoder,

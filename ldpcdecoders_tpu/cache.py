@@ -63,13 +63,24 @@ def ensure_default_cache() -> None:
     if _configured:
         return
     _configured = True
-    if os.environ.get("LDPC_JAX_CACHE", "").lower() in ("0", "off", "none"):
+    env = os.environ.get("LDPC_JAX_CACHE", "")
+    if env.lower() in ("0", "off", "none"):
         return
     try:
         import jax
 
         if getattr(jax.config, "jax_compilation_cache_dir", None):
             return  # respect an application-level configuration
+        if not env and jax.default_backend() == "cpu":
+            # CPU compiles are seconds, and XLA:CPU's AOT loader warns
+            # ("could lead to SIGILL") whenever it reloads a cached
+            # executable, because compile-side tuning flags like
+            # +prefer-no-gather are never listed as host features —
+            # even on the very machine that compiled it.  The cache
+            # only pays for itself over the remote TPU tunnel, so the
+            # auto-enable path skips CPU; set LDPC_JAX_CACHE to a
+            # directory to force it.
+            return
     except Exception:
         return
     enable_compilation_cache()

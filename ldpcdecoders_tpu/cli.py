@@ -114,7 +114,7 @@ def main(argv=None):
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     common = argparse.ArgumentParser(add_help=False)
-    common.add_argument("--code", required=True, help="gallager:n,wr,wc | toric:d | surface:d | repetition:n | hamming:r | qc:nb,wr,wc,Z | qcbase:path | bicycle:name | pcm:path | npz:path")
+    common.add_argument("--code", default=None, help="gallager:n,wr,wc | toric:d | surface:d | repetition:n | hamming:r | qc:nb,wr,wc,Z | qcbase:path | bicycle:name | pcm:path | npz:path")
     common.add_argument("--decoder", default="bposd")
     common.add_argument("--max-iters", type=int, default=100)
     common.add_argument("--osd-order", type=int, default=0)
@@ -185,8 +185,9 @@ def main(argv=None):
         help="degeneracy-aware logical-error sweep of a CSS pair "
              "(toric:d | surface:d | bicycle:name); --rounds > 1 decodes "
              "noisy measurement rounds jointly (phenomenological model)")
-    lg.add_argument("--pers", required=True,
-                    help="comma-separated physical error rates")
+    lg.add_argument("--pers", default=None,
+                    help="comma-separated physical error rates "
+                         "(required unless --dem)")
     lg.add_argument("--trials", type=int, default=4096)
     lg.add_argument("--rounds", type=int, default=1,
                     help="syndrome-measurement rounds per shot (1 = perfect "
@@ -197,8 +198,16 @@ def main(argv=None):
     lg.add_argument("--loss-rate", type=float, default=0.0,
                     help="heralded qubit-loss fraction (rounds=1 only)")
     lg.add_argument("--seed", type=int, default=0)
+    lg.add_argument("--dem", default=None, metavar="FILE",
+                    help="decode a detector error model file instead of a "
+                         "CSS pair: observable-prediction error rate via "
+                         "dem_logical_sweep (--trials shots; --rounds is "
+                         "metadata for the per-round rate; --pers ignored)")
 
     a = ap.parse_args(argv)
+
+    if getattr(a, "dem", None) is None and a.code is None:
+        ap.error("--code is required (unless 'logical --dem FILE')")
 
     from ldpcdecoders_tpu.cache import enable_compilation_cache
     from ldpcdecoders_tpu.harness import FERSweep, find_threshold
@@ -206,12 +215,26 @@ def main(argv=None):
 
     enable_compilation_cache()
 
+    if a.cmd == "logical" and a.dem is not None:
+        from ldpcdecoders_tpu.harness import dem_logical_sweep
+
+        with trace(a.profile):
+            out = dem_logical_sweep(
+                a.dem, shots=a.trials, max_iters=a.max_iters,
+                decoder=a.decoder, batch=a.batch, seed=a.seed,
+                rounds=a.rounds if a.rounds > 1 else None,
+                osd_order=a.osd_order)
+        print(json.dumps(out, indent=2))
+        return 0
+
     if a.cmd == "logical":
         from ldpcdecoders_tpu.harness import (
             css_logical_sweep,
             spacetime_logical_sweep,
         )
 
+        if a.pers is None:
+            raise SystemExit("--pers is required for CSS-pair sweeps")
         Hx, Hz = _build_css_pair(a.code)
         pers = [float(x) for x in a.pers.split(",")]
         knobs = dict(decoder=a.decoder, max_iters=a.max_iters,

@@ -15,6 +15,13 @@ from .bicycle import (
     BICYCLE_CODES,
 )
 from .spacetime import spacetime_pcm, spacetime_prior, detectors_of
+from .circuit import (
+    StabilizerCircuit,
+    css_memory_circuit,
+    circuit_dem,
+    dem_text,
+    sample_circuit,
+)
 from .css import (
     toric_code_x,
     toric_code_z,
@@ -49,6 +56,11 @@ __all__ = [
     "repetition_code",
     "cycle_matrix",
     "hamming_code",
+    "StabilizerCircuit",
+    "css_memory_circuit",
+    "circuit_dem",
+    "dem_text",
+    "sample_circuit",
     "spacetime_pcm",
     "spacetime_prior",
     "detectors_of",

@@ -29,7 +29,7 @@ from .utils.noise import (
 )
 
 __all__ = ["FERSweep", "SweepPoint", "find_threshold", "css_logical_sweep",
-           "mixed_fer_sweep", "spacetime_logical_sweep"]
+           "mixed_fer_sweep", "spacetime_logical_sweep", "dem_logical_sweep"]
 
 
 @dataclasses.dataclass
@@ -1179,3 +1179,176 @@ def _spacetime_host_step(dec_x, dec_z, Hx, Hz, z_span, x_span, rng,
     xfail, xconv, xit = run(dec_z, Hz, x_span, 1)
     return np.array([zfail.sum(), xfail.sum(), (zfail | xfail).sum(),
                      zconv.sum(), xconv.sum(), zit + xit], np.int64)
+
+
+def dem_logical_sweep(
+    dem,
+    *,
+    shots: int = 100_000,
+    max_iters: int = 60,
+    decoder: str = "bposd",
+    batch: int = 2048,
+    seed: int = 0,
+    rounds: int | None = None,
+    pipeline: int = 4,
+    on_device: bool | None = None,
+    circuit=None,
+    max_seconds: float | None = None,
+    **knobs,
+) -> dict:
+    """Observable-prediction error rate of a detector error model —
+    the sinter-style evaluation for circuit-level decoding.
+
+    ``dem`` is a flattened-or-not DEM path/text, a ``(A, priors, O)``
+    triple, or a ready :class:`~.models.detector.DetectorGraphDecoder`.
+    By default each evaluation batch is ONE jitted device program
+    (the same discipline as :func:`spacetime_logical_sweep`): sample a
+    mechanism vector per lane from the DEM priors with ``jax.random``,
+    build the detector records with one MXU matmul, decode, project
+    both the true and the predicted observable flips, and fetch only a
+    ``[2]`` count vector, ``pipeline`` batches in flight.
+
+    With ``circuit=`` (a :class:`~.codes.circuit.StabilizerCircuit`),
+    shots are instead drawn from the CIRCUIT by host Pauli-frame
+    sampling (:func:`~.codes.circuit.sample_circuit`) and only the
+    decode runs on device — the model-independent ground truth (the
+    DEM-sampled and circuit-sampled rates must agree, since both are
+    XORs of the same independent mechanisms; tested in
+    tests/test_circuit.py).
+
+    ``rounds`` is metadata: when given, the summary adds the
+    standard per-round rate ``1 - (1 - LER)^(1/rounds)``.
+
+    Returns ``{"shots", "fails", "logical_rate", "logical_ci95",
+    "per_round_rate"?, "converged", "throughput_shots_per_s",
+    "device_sampled"}``.
+    """
+    from .models.detector import DetectorGraphDecoder, load_dem
+
+    if isinstance(dem, DetectorGraphDecoder):
+        dec = dem
+    else:
+        dec_kw = dict(knobs)
+        if decoder == "bposd" and "fused" not in dec_kw:
+            dec_kw["fused"] = True  # traceable, output-identical
+        if isinstance(dem, tuple):
+            A, priors, O = dem
+            dec = DetectorGraphDecoder(A, priors, max_iters, observables=O,
+                                       decoder=decoder, **dec_kw)
+        else:
+            dec = DetectorGraphDecoder.from_dem(dem, max_iters,
+                                                decoder=decoder, **dec_kw)
+    if dec.O is None:
+        raise ValueError("the model declares no logical observables")
+
+    use_dev = circuit is None if on_device is None else bool(on_device)
+    if circuit is not None and use_dev:
+        raise ValueError("circuit sampling is host-side; pass "
+                         "on_device=False or drop it")
+
+    import jax
+    import jax.numpy as jnp
+
+    from .cache import ensure_default_cache
+
+    ensure_default_cache()
+    Ad = jnp.asarray(np.asarray(dec.A.todense()), jnp.float32)
+    Od = jnp.asarray(dec.O, jnp.float32)
+    prior = jnp.asarray(dec._prior, jnp.float32)
+
+    def make_step(b):
+        def step(noise_seed, decode_seed):
+            x = jax.random.bernoulli(
+                jax.random.PRNGKey(noise_seed), prior, (b, dec.N))
+            xf = x.astype(jnp.float32)
+            det = jnp.mod(xf @ Ad.T, 2.0).astype(jnp.uint8)
+            x_hat, conv, _, _ = dec._decode_batch(det, decode_seed)
+            diff = (xf + x_hat.astype(jnp.float32)) @ Od.T
+            fail = jnp.any(jnp.mod(diff, 2.0) != 0, axis=1)
+            return jnp.stack([jnp.sum(fail, dtype=jnp.int32),
+                              jnp.sum(conv, dtype=jnp.int32)])
+
+        return jax.jit(step)
+
+    steps: dict[int, Callable] = {}
+    circ_det = circ_obs = None
+    if circuit is not None:
+        from .codes.circuit import sample_circuit
+
+        circ_det, circ_obs = sample_circuit(circuit, shots, seed=seed)
+
+    trials = fails = convd = 0
+    inflight: list = []
+    inflight_trials = 0
+    step_i = 0
+    depth = max(1, int(pipeline)) if use_dev else 1
+    stopping = False
+    t0 = time.perf_counter()
+
+    def finalize_one():
+        nonlocal trials, fails, convd, inflight_trials
+        item, b = inflight.pop(0)
+        if isinstance(item, tuple):  # host batch (fallback can mix modes)
+            f, c = item
+        else:
+            f, c = np.asarray(item)
+        fails += int(f)
+        convd += int(c)
+        trials += b
+        inflight_trials -= b
+
+    while trials + inflight_trials < shots or inflight:
+        if max_seconds is not None and not stopping and (
+                time.perf_counter() - t0) >= max_seconds:
+            stopping = True
+        if stopping and not inflight:
+            break
+        want_more = not stopping and trials + inflight_trials < shots
+        if not want_more or len(inflight) >= depth:
+            finalize_one()
+            continue
+        b = min(batch, shots - trials - inflight_trials)
+        rng = np.random.default_rng((seed, step_i))
+        decode_seed = int(rng.integers(1 << 31))
+        if use_dev:
+            noise_seed = int(rng.integers(1 << 31))
+            try:
+                if b not in steps:
+                    steps[b] = make_step(b)
+                item = steps[b](noise_seed, decode_seed)
+            except Exception:
+                use_dev = False  # untraceable inner: host fallback
+                depth = 1
+        if not use_dev:
+            lo = trials + inflight_trials
+            if circuit is not None:
+                det = circ_det[lo: lo + b]
+                obs = circ_obs[lo: lo + b]
+            else:
+                x = (rng.random((b, dec.N)) < dec._prior).astype(np.uint8)
+                det = (x @ np.asarray(dec.A.todense()).T) & 1
+                obs = (x @ dec.O.T) & 1
+            pred, conv = dec.predict_observables(det, seed=decode_seed)
+            item = (int((pred != obs).any(axis=1).sum()),
+                    int(np.asarray(conv).sum()))
+        inflight.append((item, b))
+        inflight_trials += b
+        step_i += 1
+    dt = time.perf_counter() - t0
+    if not trials:
+        return {"shots": 0}
+    lo, hi = wilson_interval(fails, trials)
+    out = {
+        "shots": trials,
+        "fails": fails,
+        "logical_rate": fails / trials,
+        "logical_ci95": [lo, hi],
+        "converged": convd / trials,
+        "throughput_shots_per_s": trials / dt if dt else 0.0,
+        "device_sampled": bool(use_dev),
+    }
+    if rounds:
+        out["rounds"] = int(rounds)
+        out["per_round_rate"] = 1.0 - (1.0 - out["logical_rate"]) ** (
+            1.0 / rounds)
+    return out

@@ -52,9 +52,14 @@ def load_dem(text_or_path):
         no detector footprint warns (undetectable logical error).
       * ``detector(...) D<k>`` / ``logical_observable L<k>`` —
         declarations; only consulted to size the outputs.
-
-    ``repeat`` blocks and ``shift_detectors`` are NOT supported — pass
-    a *flattened* model (stim: ``dem.flattened()``).
+      * ``repeat N { ... }`` — the body executes ``N`` times (closing
+        brace on its own line, as stim prints).
+      * ``shift_detectors(coords) N`` / ``shift_detectors N`` — adds
+        ``N`` to the running detector offset applied to every later
+        ``D<k>`` reference (coordinates are metadata, ignored).  The
+        offset accumulates across repeat iterations, so UNFLATTENED
+        stim models parse directly and produce the same mechanisms as
+        their flattened form (tested).
 
     Returns ``(A, priors, O)``: ``A`` scipy.sparse csr ``[D, N]`` uint8,
     ``priors`` float64 ``[N]``, ``O`` dense uint8 ``[k, N]`` (``k`` may
@@ -72,52 +77,101 @@ def load_dem(text_or_path):
         with open(text_or_path) as f:
             text = f.read()
 
-    mechanisms: dict[tuple, float] = {}
-    max_d = max_l = -1
-    err_re = re.compile(r"^error\s*\(\s*([0-9.eE+-]+)\s*\)\s*(.*)$")
+    lines = []
     for raw in str(text).splitlines():
         line = raw.split("#", 1)[0].split("//", 1)[0].strip()
-        if not line:
-            continue
-        m = err_re.match(line)
-        if m:
-            p = float(m.group(1))
-            if not 0.0 <= p <= 1.0:
-                raise ValueError(f"error probability out of range: {raw!r}")
-            dets, obs = set(), set()
-            for tok in m.group(2).split():
-                if tok == "^":
-                    continue  # decomposition separator: take the whole mechanism
-                if tok[0] == "D":
-                    dets ^= {int(tok[1:])}  # parity: flipped twice = not flipped
-                elif tok[0] == "L":
-                    obs ^= {int(tok[1:])}
-                else:
-                    raise ValueError(f"unknown error target {tok!r} in {raw!r}")
-            key = (tuple(sorted(dets)), tuple(sorted(obs)))
-            if dets:
-                max_d = max(max_d, *dets)
-            if obs:
-                max_l = max(max_l, *obs)
-            q = mechanisms.get(key, 0.0)
-            mechanisms[key] = q * (1 - p) + p * (1 - q)
-            continue
-        head = line.split("(")[0].split()[0]
-        if head == "detector":
-            ds = [int(t[1:]) for t in line.split() if t[0] == "D"]
-            if ds:
-                max_d = max(max_d, *ds)
-            continue
-        if head == "logical_observable":
-            ls = [int(t[1:]) for t in line.split() if t[0] == "L"]
-            if ls:
-                max_l = max(max_l, *ls)
-            continue
-        if head in ("repeat", "shift_detectors"):
-            raise ValueError(
-                f"'{head}' is not supported — flatten the model first "
-                "(stim: dem.flattened())")
-        raise ValueError(f"unrecognized DEM statement: {raw!r}")
+        if line:
+            lines.append(line)
+
+    def parse_block(i, depth):
+        """lines[i:] -> (statements, next_i); a statement is the line
+        string or ("repeat", count, body)."""
+        stmts = []
+        while i < len(lines):
+            line = lines[i]
+            if line == "}":
+                if depth == 0:
+                    raise ValueError("unmatched '}' in DEM")
+                return stmts, i + 1
+            if line.split()[0] == "repeat":
+                m = re.match(r"^repeat\s+(\d+)\s*\{$", line)
+                if not m:
+                    raise ValueError(
+                        f"malformed repeat statement: {line!r} "
+                        "(expected 'repeat N {{')")
+                body, i = parse_block(i + 1, depth + 1)
+                stmts.append(("repeat", int(m.group(1)), body))
+                continue
+            stmts.append(line)
+            i += 1
+        if depth:
+            raise ValueError("unterminated repeat block in DEM")
+        return stmts, i
+
+    program, _ = parse_block(0, 0)
+
+    mechanisms: dict[tuple, float] = {}
+    max_d = max_l = -1
+    offset = 0  # running shift_detectors offset applied to D targets
+    err_re = re.compile(r"^error\s*\(\s*([0-9.eE+-]+)\s*\)\s*(.*)$")
+    shift_re = re.compile(r"^shift_detectors(?:\s*\([^)]*\))?\s+(\d+)$")
+
+    def execute(stmts):
+        nonlocal max_d, max_l, offset
+        for stmt in stmts:
+            if isinstance(stmt, tuple):  # ("repeat", n, body)
+                for _ in range(stmt[1]):
+                    execute(stmt[2])
+                continue
+            line = stmt
+            m = err_re.match(line)
+            if m:
+                p = float(m.group(1))
+                if not 0.0 <= p <= 1.0:
+                    raise ValueError(
+                        f"error probability out of range: {line!r}")
+                dets, obs = set(), set()
+                for tok in m.group(2).split():
+                    if tok == "^":
+                        continue  # decomposition separator: take the whole
+                    if tok[0] == "D":
+                        # parity: flipped twice = not flipped
+                        dets ^= {offset + int(tok[1:])}
+                    elif tok[0] == "L":
+                        obs ^= {int(tok[1:])}
+                    else:
+                        raise ValueError(
+                            f"unknown error target {tok!r} in {line!r}")
+                key = (tuple(sorted(dets)), tuple(sorted(obs)))
+                if dets:
+                    max_d = max(max_d, *dets)
+                if obs:
+                    max_l = max(max_l, *obs)
+                q = mechanisms.get(key, 0.0)
+                mechanisms[key] = q * (1 - p) + p * (1 - q)
+                continue
+            head = line.split("(")[0].split()[0]
+            if head == "detector":
+                ds = [offset + int(t[1:])
+                      for t in line.split() if t[0] == "D"]
+                if ds:
+                    max_d = max(max_d, *ds)
+                continue
+            if head == "logical_observable":
+                ls = [int(t[1:]) for t in line.split() if t[0] == "L"]
+                if ls:
+                    max_l = max(max_l, *ls)
+                continue
+            if head == "shift_detectors":
+                m = shift_re.match(line)
+                if not m:
+                    raise ValueError(
+                        f"malformed shift_detectors statement: {line!r}")
+                offset += int(m.group(1))
+                continue
+            raise ValueError(f"unrecognized DEM statement: {line!r}")
+
+    execute(program)
 
     # mechanisms that can never fire (p == 0 after merging — stim keeps
     # explicit error(0) instructions in flattened output) and footprint-free

@@ -51,11 +51,13 @@ def test_load_dem_ignores_decomposition_and_comments():
     assert O[0, 0] == 1
 
 
-def test_load_dem_rejects_unflattened():
-    with pytest.raises(ValueError, match="flatten"):
-        load_dem("repeat 5 {\n error(0.1) D0\n}")
-    with pytest.raises(ValueError, match="flatten"):
-        load_dem("shift_detectors 2")
+def test_load_dem_unflattened_and_malformed():
+    # repeat/shift_detectors are interpreted since round 3
+    # (full semantics in tests/test_circuit.py); junk still rejects
+    A, _, _ = load_dem("repeat 5 {\n error(0.1) D0\n}")
+    assert A.shape == (1, 1)
+    A, _, _ = load_dem("shift_detectors 2\nerror(0.1) D0")
+    assert A.shape == (3, 1)  # D0 shifted to D2
     with pytest.raises(ValueError, match="unrecognized"):
         load_dem("banana D0")
     with pytest.raises(ValueError, match="no error mechanisms"):
