@@ -76,6 +76,9 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--bb144", action="store_true",
                     help="include the 31k-mechanism bb144 R=6 case")
+    ap.add_argument("--bb-batch", type=int, default=64)
+    ap.add_argument("--skip-surface", action="store_true",
+                    help="run only the bb144 case (merge artifacts by hand)")
     a = ap.parse_args()
     if a.quick:
         a.min_shots, a.min_fails, a.point_seconds = 4096, 3, 20.0
@@ -86,10 +89,11 @@ def main():
                "config": {"min_shots": a.min_shots, "min_fails": a.min_fails,
                           "point_seconds": a.point_seconds}}
 
-    cases = [("surface_d3_R3", lambda: (lt.surface_code_x(3),
-                                        lt.surface_code_z(3)), 3, 2048),
-             ("surface_d5_R5", lambda: (lt.surface_code_x(5),
-                                        lt.surface_code_z(5)), 5, 1024)]
+    cases = [] if a.skip_surface else [
+        ("surface_d3_R3", lambda: (lt.surface_code_x(3),
+                                   lt.surface_code_z(3)), 3, 2048),
+        ("surface_d5_R5", lambda: (lt.surface_code_x(5),
+                                   lt.surface_code_z(5)), 5, 1024)]
     for name, pair, R, batch in cases:
         Hx, Hz = pair()
         results[name] = {}
@@ -122,20 +126,24 @@ def main():
     # measured phenomenological comparison (decoder-quality effect)
     from ldpcdecoders_tpu.harness import spacetime_logical_sweep
 
+    if a.skip_surface:
+        phen = None
     Hx, Hz = lt.surface_code_x(3), lt.surface_code_z(3)
-    phen = spacetime_logical_sweep(
+    phen = None if a.skip_surface else spacetime_logical_sweep(
         Hx, Hz, [0.003], rounds=3, trials_per_point=max(a.min_shots, 16384),
         max_iters=60, batch=2048, seed=17)[0.003]
-    results["phenomenological_d3_R3_p003"] = {
-        "any_logical_rate": phen["any_logical_rate"],
-        "z_logical_rate": phen["z_logical_rate"],
-        "note": ("independent two-block decode of iid data+readout noise; "
-                 "the circuit-level DEM decoder above decodes both detector "
-                 "species JOINTLY with Y-correlation hyperedges, which is "
-                 "why its rate at equal p is LOWER, not higher"),
-    }
-    print("phenomenological d3 R3 p=0.003 any:", phen["any_logical_rate"],
-          flush=True)
+    if phen is not None:
+        results["phenomenological_d3_R3_p003"] = {
+            "any_logical_rate": phen["any_logical_rate"],
+            "z_logical_rate": phen["z_logical_rate"],
+            "note": ("independent two-block decode of iid data+readout "
+                     "noise; the circuit-level DEM decoder above decodes "
+                     "both detector species JOINTLY with Y-correlation "
+                     "hyperedges, which is why its rate at equal p is "
+                     "LOWER, not higher"),
+        }
+        print("phenomenological d3 R3 p=0.003 any:",
+              phen["any_logical_rate"], flush=True)
 
     if a.bb144:
         Hx, Hz, *_ = lt.named_bicycle_code("bb144")
@@ -146,7 +154,7 @@ def main():
         gen_s = time.perf_counter() - t0
         pt = adaptive(dem, R, min_shots=min(a.min_shots, 8192),
                       min_fails=a.min_fails,
-                      point_seconds=4 * a.point_seconds, batch=256,
+                      point_seconds=4 * a.point_seconds, batch=a.bb_batch,
                       max_iters=60, seed=29)
         pt["dem_mechanisms"] = int(dem[0].shape[1])
         pt["dem_extraction_seconds"] = gen_s

@@ -370,10 +370,20 @@ class BeliefPropagationOSDDecoder(Decoder):
                 "osd_method must be 'exhaustive' or 'combination_sweep', "
                 f"got {osd_method!r}"
             )
-        if use_pallas is None:
-            use_pallas = jax.default_backend() not in ("cpu", "gpu")
         self.graph = H if isinstance(H, TannerGraph) else TannerGraph.from_pcm(H)
         self.m, self.n = self.graph.m, self.graph.n
+        if use_pallas is None:
+            # the VMEM-resident elimination kernel holds a lane's whole
+            # packed matrix ([W, m_pad] uint32, double-buffered in and
+            # out) on the ~16 MB VMEM stack; past ~3 MB/lane (e.g. the
+            # 864 x 31,648 bb144 circuit-level DEM at 3.5 MB) Mosaic
+            # OOMs at compile, so auto-selection falls back to the XLA
+            # path there.  An explicit use_pallas=True is honored as-is.
+            words = (self.n + 31) // 32
+            m_pad = ((self.m + 127) // 128) * 128
+            fits_vmem = words * m_pad * 4 <= 3 * 2**20
+            use_pallas = (jax.default_backend() not in ("cpu", "gpu")
+                          and fits_vmem)
         self.per = float(per)
         self.max_iters = int(max_iters)
         if osd_order < 0:

@@ -272,7 +272,20 @@ class DetectorGraphDecoder(Decoder):
                     "cannot correct", stacklevel=2)
         cfg = DecoderConfig(kind=decoder, per=float(priors.mean()),
                             max_iters=max_iters, **knobs)
-        self.inner = cfg.build(A)
+        build_input = A
+        if decoder == "bposd" and self.D * self.N > 4_000_000:
+            # TannerGraph only auto-attaches the dense rows OSD needs up
+            # to 4M entries; a circuit-level DEM (e.g. bb144 R=6 is
+            # 864 x 31,648) sits above that but is still far from the
+            # million-qubit regime the guard protects, so densify
+            # deliberately here rather than fail in require_H
+            if self.D * self.N > 400_000_000:
+                raise ValueError(
+                    f"detector matrix {self.D}x{self.N} is too large to "
+                    "densify for OSD; use a non-OSD decoder kind (bp, "
+                    "minsum, ...) for models at this scale")
+            build_input = np.asarray(A.todense())
+        self.inner = cfg.build(build_input)
         if not (self.inner.supports_per_override
                 and self.inner.supports_vector_prior):
             raise ValueError(

@@ -153,3 +153,18 @@ def test_from_dem_and_validation(tmp_path):
         dec2.predict_observables(np.zeros((1, 2), np.uint8))
     with pytest.raises(ValueError, match="detectors"):
         dec2.batch_decode(np.zeros((1, 5), np.uint8))
+
+
+def test_large_sparse_dem_densifies_for_osd():
+    """TannerGraph only auto-attaches dense rows up to 4M entries; a
+    circuit-level-scale sparse A must still build a bposd decoder
+    (detector.py densifies deliberately) instead of failing require_H."""
+    import scipy.sparse as sp
+
+    m, n = 1500, 3000  # 4.5M entries: above the auto-dense threshold
+    A = sp.eye(m, n, dtype=np.uint8, format="csr")
+    dec = DetectorGraphDecoder(A, np.full(n, 0.01), max_iters=5)
+    syn = np.zeros((2, m), np.uint8)
+    syn[1, 7] = 1
+    x, conv = dec.batch_decode(syn)
+    assert conv.all() and x[1, 7] == 1 and x[0].sum() == 0
