@@ -34,11 +34,13 @@ PERS = [0.001, 0.002, 0.003, 0.005]
 
 
 def adaptive(dem_triple, rounds, *, min_shots, min_fails, point_seconds,
-             batch, max_iters, seed):
+             batch, max_iters, seed, decoder="bposd"):
     from ldpcdecoders_tpu.models.detector import DetectorGraphDecoder
 
     A, pr, O = dem_triple
-    dec = DetectorGraphDecoder(A, pr, max_iters, observables=O, fused=True)
+    knobs = {"fused": True} if decoder == "bposd" else {}
+    dec = DetectorGraphDecoder(A, pr, max_iters, observables=O,
+                               decoder=decoder, **knobs)
     t0 = time.perf_counter()
     shots = fails = conv = 0
     i = 0
@@ -152,10 +154,14 @@ def main():
         c = css_memory_circuit(Hx, Hz, R, p=p)
         dem = circuit_dem(c)
         gen_s = time.perf_counter() - t0
+        # plain BP: the OSD elimination at N=31,648 does not compile in
+        # reasonable time over the remote-compile tunnel; BP-only is the
+        # honest scale demonstration (converged fraction reported)
         pt = adaptive(dem, R, min_shots=min(a.min_shots, 8192),
                       min_fails=a.min_fails,
                       point_seconds=4 * a.point_seconds, batch=a.bb_batch,
-                      max_iters=60, seed=29)
+                      max_iters=100, seed=29, decoder="bp")
+        pt["decoder"] = "bp"
         pt["dem_mechanisms"] = int(dem[0].shape[1])
         pt["dem_extraction_seconds"] = gen_s
         results["bb144_R6"] = {str(p): pt}
