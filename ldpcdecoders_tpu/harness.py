@@ -1036,7 +1036,8 @@ def spacetime_logical_sweep(
                 <= _DEVICE_SWEEP_MAX_DENSE)
     use_dev = dense_ok if on_device is None else bool(on_device)
     dec_kw = dict(meas_error_rate=meas_error_rate, decoder=decoder, **knobs)
-    if use_dev and decoder == "bposd" and "fused" not in knobs:
+    if (use_dev and decoder == "bposd" and "fused" not in knobs
+            and knobs.get("osd_impl", "device") != "host"):
         # the compacting OSD path gathers failing lanes on host (never
         # traceable); the fused cond-gated program is output-identical
         dec_kw["fused"] = True
@@ -1229,7 +1230,8 @@ def dem_logical_sweep(
         dec = dem
     else:
         dec_kw = dict(knobs)
-        if decoder == "bposd" and "fused" not in dec_kw:
+        if (decoder == "bposd" and "fused" not in dec_kw
+                and dec_kw.get("osd_impl", "device") != "host"):
             dec_kw["fused"] = True  # traceable, output-identical
         if isinstance(dem, tuple):
             A, priors, O = dem

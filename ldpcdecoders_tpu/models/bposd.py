@@ -362,9 +362,12 @@ class BeliefPropagationOSDDecoder(Decoder):
         osd_scope: str = "all",
         inner=None,
         osd_method: str = "exhaustive",
+        osd_impl: str = "device",
     ):
         if osd_scope not in ("all", "failed"):
             raise ValueError("osd_scope must be 'all' or 'failed'")
+        if osd_impl not in ("device", "host"):
+            raise ValueError("osd_impl must be 'device' or 'host'")
         if osd_method not in ("exhaustive", "combination_sweep"):
             raise ValueError(
                 "osd_method must be 'exhaustive' or 'combination_sweep', "
@@ -412,6 +415,31 @@ class BeliefPropagationOSDDecoder(Decoder):
         self.osd_scope = osd_scope
         self.inner = inner
         self.osd_method = osd_method
+        self.osd_impl = osd_impl
+        self._Hcols = None
+        if osd_impl == "host":
+            # the threaded C++ column-reduction eliminator
+            # (native/gf2_osd.cpp): golden-identical to the device OSD-0
+            # given the same column order, and the only working path for
+            # detector models too wide for the device elimination (the
+            # 864 x 31,648 bb144 circuit DEM — docs/ROADMAP.md).  BP
+            # stays on device; failing lanes round-trip to host, so the
+            # program is untraceable (no fused mode).
+            from ..native import gf2_pack_cols, native_available
+
+            if self.osd_order != 0 and self.osd_method != "combination_sweep":
+                raise ValueError(
+                    "osd_impl='host' supports osd_order=0 (exhaustive) or "
+                    "any order with osd_method='combination_sweep'")
+            if self.fused:
+                raise ValueError(
+                    "osd_impl='host' is a host round-trip; fused=True "
+                    "cannot trace it")
+            if not native_available():
+                raise RuntimeError(
+                    "osd_impl='host' needs the native library (g++); "
+                    "build failed or unavailable on this system")
+            self._Hcols = gf2_pack_cols(self.graph.require_H())
         if self.fused:
             self._fused_fn = jax.jit(
                 make_fused_bposd_fn(
@@ -439,6 +467,29 @@ class BeliefPropagationOSDDecoder(Decoder):
             )
             self._osd0_batch, self._osdw_batch = jax.jit(osd0), jax.jit(osdw)
 
+    def _host_osd0(self, syn_np, bp_np, logp_np):
+        """Native OSD on a compacted lane subset (original-order I/O):
+        OSD-0 column reduction, or the OSD-CS combination sweep when
+        ``osd_method='combination_sweep'`` with ``osd_order`` as the
+        pair depth.  The per-lane column order replicates
+        sort_and_pack: f32 reliability max(p, 1-p), stable descending
+        argsort; both paths are golden-tested bit-identical to the
+        device kernels."""
+        from ..native import gf2_osd0_host, gf2_osd_cs_host
+
+        probs = np.exp(logp_np.astype(np.float32))
+        rel = np.maximum(probs, 1.0 - probs)
+        order = np.argsort(-rel, axis=1, kind="stable").astype(np.int32)
+        if self.osd_method == "combination_sweep":
+            out, _ = gf2_osd_cs_host(self._Hcols, self.m, self.osd_order,
+                                     order, bp_np.astype(np.uint8),
+                                     syn_np.astype(np.uint8))
+        else:
+            out, _ = gf2_osd0_host(self._Hcols, self.m, order,
+                                   bp_np.astype(np.uint8),
+                                   syn_np.astype(np.uint8))
+        return out.astype(np.int8)
+
     def _decode_batch(self, syndromes, seed: int = 0, per=None):
         syn = jnp.asarray(syndromes)
         ratio = None
@@ -458,6 +509,15 @@ class BeliefPropagationOSDDecoder(Decoder):
         # BP's converged flag IS that test (its loop exits a lane exactly
         # when (H @ err) % 2 == syndrome), so no residual recompute needed.
         need = np.flatnonzero(~np.asarray(converged))
+        if self.osd_impl == "host":
+            if self.osd_scope == "all":
+                need = np.arange(syn.shape[0])
+            if need.size == 0:
+                return bp_err, converged, iters, {"log_probabs": logp}
+            out = np.asarray(bp_err).copy()
+            out[need] = self._host_osd0(
+                np.asarray(syn)[need], out[need], np.asarray(logp)[need])
+            return out, converged, iters, {"log_probabs": logp}
         if need.size == 0:
             return bp_err, converged, iters, {"log_probabs": logp}
 

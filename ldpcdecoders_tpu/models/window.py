@@ -69,7 +69,8 @@ class SlidingWindowDecoder:
             raise ValueError(
                 f"commit must be in [1, window), got {commit} (window={window})")
         self.window, self.commit = W, C
-        if decoder == "bposd" and "fused" not in knobs:
+        if (decoder == "bposd" and "fused" not in knobs
+                and knobs.get("osd_impl", "device") != "host"):
             # the compacting OSD-0 path syncs to host per window; the
             # fused cond-gated program is output-identical and traceable
             knobs = dict(knobs, fused=True)

@@ -22,6 +22,9 @@ __all__ = [
     "compile_tanner_native",
     "native_available",
     "pack_gf2_rows",
+    "gf2_pack_cols",
+    "gf2_osd0_host",
+    "gf2_osd_cs_host",
     "gf2_syndromes_packed",
     "gf2_verify_packed",
 ]
@@ -33,6 +36,7 @@ _build_failed = False
 _SRCS = [
     os.path.join(os.path.dirname(__file__), "graph_compiler.cpp"),
     os.path.join(os.path.dirname(__file__), "gf2_host.cpp"),
+    os.path.join(os.path.dirname(__file__), "gf2_osd.cpp"),
 ]
 _SRC = _SRCS[0]
 
@@ -99,6 +103,41 @@ def _load():
                 ctypes.c_int64,
                 ctypes.c_int64,
                 ctypes.c_void_p,
+                ctypes.c_int64,
+                ctypes.c_void_p,
+            ]
+            lib.gf2_osd0_host.restype = None
+            lib.gf2_osd0_host.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_void_p,
+                ctypes.c_void_p,
+                ctypes.c_void_p,
+                ctypes.c_int64,
+                ctypes.c_void_p,
+                ctypes.c_void_p,
+            ]
+            lib.gf2_osd_cs_host.restype = None
+            lib.gf2_osd_cs_host.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_void_p,
+                ctypes.c_void_p,
+                ctypes.c_void_p,
+                ctypes.c_int64,
+                ctypes.c_void_p,
+                ctypes.c_void_p,
+            ]
+            lib.gf2_pack_cols.restype = None
+            lib.gf2_pack_cols.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_int64,
+                ctypes.c_int64,
                 ctypes.c_int64,
                 ctypes.c_void_p,
             ]
@@ -210,3 +249,86 @@ def gf2_verify_packed(Hp: np.ndarray, Ep: np.ndarray, Gp: np.ndarray):
         exact.ctypes.data, smatch.ctypes.data,
     )
     return exact.astype(bool), smatch.astype(bool)
+
+
+def gf2_pack_cols(H: np.ndarray) -> np.ndarray | None:
+    """Pack ``[m, n]`` 0/1 H into ``[n, ceil(m/64)]`` uint64 column
+    bitsets (bit r of word w = row 64w+r), or ``None`` if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    H = np.ascontiguousarray(H, dtype=np.uint8)
+    m, n = H.shape
+    mw = (m + 63) // 64
+    out = np.empty((n, mw), np.uint64)
+    lib.gf2_pack_cols(H.ctypes.data, m, n, mw, out.ctypes.data)
+    return out
+
+
+def gf2_osd0_host(Hcols: np.ndarray, m: int, order: np.ndarray,
+                  bp: np.ndarray, syn: np.ndarray):
+    """Threaded host OSD-0 over packed columns (see native/gf2_osd.cpp).
+
+    Bit-identical to the device path (ops/gf2.py::gf2_osd0) given the
+    same per-lane column order; built for problem widths the device
+    elimination cannot hold (golden-tested in tests/test_native.py).
+
+    Args:
+      Hcols: ``[n, ceil(m/64)]`` uint64 packed columns (gf2_pack_cols).
+      m: row count.
+      order: ``[B, n]`` int32 per-lane scan order, most reliable first.
+      bp: ``[B, n]`` uint8 hard decisions (original column order).
+      syn: ``[B, m]`` uint8 syndromes.
+
+    Returns ``(out [B, n] uint8, consistent [B] bool)`` or ``None`` if
+    the native library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    Hcols = np.ascontiguousarray(Hcols, dtype=np.uint64)
+    n, mw = Hcols.shape
+    order = np.ascontiguousarray(order, dtype=np.int32)
+    bp = np.ascontiguousarray(bp, dtype=np.uint8)
+    syn = np.ascontiguousarray(syn, dtype=np.uint8)
+    B = order.shape[0]
+    if order.shape != (B, n) or bp.shape != (B, n) or syn.shape != (B, m):
+        raise ValueError(
+            f"shape mismatch: order {order.shape}, bp {bp.shape}, "
+            f"syn {syn.shape} for n={n}, m={m}")
+    out = np.empty((B, n), np.uint8)
+    consistent = np.empty(B, np.uint8)
+    lib.gf2_osd0_host(Hcols.ctypes.data, n, m, mw, order.ctypes.data,
+                      bp.ctypes.data, syn.ctypes.data, B, out.ctypes.data,
+                      consistent.ctypes.data)
+    return out, consistent.astype(bool)
+
+
+def gf2_osd_cs_host(Hcols: np.ndarray, m: int, lam: int, order: np.ndarray,
+                    bp: np.ndarray, syn: np.ndarray):
+    """Threaded host OSD-CS (combination sweep; native/gf2_osd.cpp).
+
+    Same conventions as :func:`gf2_osd0_host` plus ``lam``, the pair-
+    sweep depth over the most-reliable non-pivot columns.  Golden-tested
+    against ops/gf2.py::osd_cs_sweep.  Returns ``(out, consistent)`` or
+    ``None`` if the native library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    Hcols = np.ascontiguousarray(Hcols, dtype=np.uint64)
+    n, mw = Hcols.shape
+    order = np.ascontiguousarray(order, dtype=np.int32)
+    bp = np.ascontiguousarray(bp, dtype=np.uint8)
+    syn = np.ascontiguousarray(syn, dtype=np.uint8)
+    B = order.shape[0]
+    if order.shape != (B, n) or bp.shape != (B, n) or syn.shape != (B, m):
+        raise ValueError(
+            f"shape mismatch: order {order.shape}, bp {bp.shape}, "
+            f"syn {syn.shape} for n={n}, m={m}")
+    out = np.empty((B, n), np.uint8)
+    consistent = np.empty(B, np.uint8)
+    lib.gf2_osd_cs_host(Hcols.ctypes.data, n, m, mw, int(lam),
+                        order.ctypes.data, bp.ctypes.data, syn.ctypes.data,
+                        B, out.ctypes.data, consistent.ctypes.data)
+    return out, consistent.astype(bool)

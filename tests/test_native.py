@@ -112,3 +112,143 @@ def test_syndromes_of_blas_fallback_matches(monkeypatch):
     assert (noise.syndromes_of(H, E) == ref).all()
     exact, smatch = noise.verify_decodes(H, E, E.astype(np.int8), ref)
     assert exact.all() and smatch.all()
+
+
+# ------------------------------------------------------ host OSD-0 (r3)
+
+
+def test_gf2_osd0_host_golden_vs_device():
+    """The threaded C++ column-reduction OSD-0 (native/gf2_osd.cpp) is
+    bit-identical to ops/gf2.py::gf2_osd0 given the same column order —
+    including the reference's residual-exhaustion stopping rule, which
+    decides WHICH low-reliability columns keep their BP values."""
+    import jax.numpy as jnp
+
+    from ldpcdecoders_tpu.native import (gf2_osd0_host, gf2_pack_cols,
+                                         native_available)
+    from ldpcdecoders_tpu.ops.gf2 import gf2_osd0, pack_bits
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(7)
+    for _ in range(15):
+        m = int(rng.integers(5, 40))
+        n = int(rng.integers(m, 90))
+        H = (rng.random((m, n)) < 0.3).astype(np.uint8)
+        x = (rng.random(n) < 0.15).astype(np.uint8)
+        syn = (H @ x) & 1
+        bp = (rng.random(n) < 0.15).astype(np.uint8)
+        perm = rng.permutation(n).astype(np.int32)
+        Hp = np.asarray(pack_bits(jnp.asarray(H[:, perm])))
+        resid = (syn ^ ((H @ bp) & 1)).astype(np.uint32)
+        corr_sorted = np.asarray(gf2_osd0(
+            jnp.asarray(Hp), jnp.asarray(bp[perm], jnp.uint32),
+            jnp.asarray(resid), n))
+        dev = np.zeros(n, np.uint8)
+        dev[perm] = corr_sorted.astype(np.uint8)
+        out, cons = gf2_osd0_host(gf2_pack_cols(H), m, perm[None, :],
+                                  bp[None, :], syn[None, :])
+        assert cons[0]
+        np.testing.assert_array_equal(dev, out[0])
+
+
+def test_osd_impl_host_decoder_parity():
+    """Decoder-level: osd_impl='host' output equals the device path on
+    real BP soft outputs, for both scopes."""
+    from ldpcdecoders_tpu.native import native_available
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+    H = lt.toric_code_x(3)
+    rng = np.random.default_rng(3)
+    x = (rng.random((128, H.shape[1])) < 0.06).astype(np.uint8)
+    syn = (x @ H.T) & 1
+    for scope in ("all", "failed"):
+        dev = lt.BeliefPropagationOSDDecoder(H, 0.06, 40, osd_scope=scope)
+        host = lt.BeliefPropagationOSDDecoder(H, 0.06, 40, osd_scope=scope,
+                                              osd_impl="host")
+        ed, cd = dev.batch_decode(syn, seed=1)
+        eh, ch = host.batch_decode(syn, seed=1)
+        np.testing.assert_array_equal(cd, ch)
+        np.testing.assert_array_equal(ed, eh)
+
+
+def test_osd_impl_host_validation():
+    H = lt.toric_code_x(3)
+    with pytest.raises(ValueError, match="osd_order=0"):
+        lt.BeliefPropagationOSDDecoder(H, 0.05, 20, osd_order=2,
+                                       osd_impl="host")
+    with pytest.raises(ValueError, match="fused"):
+        lt.BeliefPropagationOSDDecoder(H, 0.05, 20, fused=True,
+                                       osd_impl="host")
+    with pytest.raises(ValueError, match="osd_impl"):
+        lt.BeliefPropagationOSDDecoder(H, 0.05, 20, osd_impl="gpu")
+    # config round-trip carries the knob
+    cfg = lt.DecoderConfig(kind="bposd", per=0.05, max_iters=20,
+                           osd_impl="host")
+    assert lt.DecoderConfig.from_json(cfg.to_json()).osd_impl == "host"
+
+
+def test_gf2_osd_cs_host_golden_vs_device():
+    """Host OSD-CS (combination sweep) equals ops/gf2.py::osd_cs_sweep
+    bit for bit: same candidate set, same tie order, same application."""
+    import jax.numpy as jnp
+
+    from ldpcdecoders_tpu.native import (gf2_osd_cs_host, gf2_pack_cols,
+                                         native_available)
+    from ldpcdecoders_tpu.ops.gf2 import gf2_osd_cs, pack_bits
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(17)
+    for _ in range(15):
+        m = int(rng.integers(5, 30))
+        n = int(rng.integers(m + 2, 80))
+        lam = int(rng.integers(2, 12))
+        H = (rng.random((m, n)) < 0.3).astype(np.uint8)
+        x = (rng.random(n) < 0.15).astype(np.uint8)
+        syn = (H @ x) & 1
+        bp = (rng.random(n) < 0.15).astype(np.uint8)
+        perm = rng.permutation(n).astype(np.int32)
+        Hp = np.asarray(pack_bits(jnp.asarray(H[:, perm])))
+        corr = np.asarray(gf2_osd_cs(
+            jnp.asarray(Hp), jnp.asarray(bp[perm], jnp.uint32),
+            jnp.asarray(syn, jnp.uint32), lam, n))
+        dev = np.zeros(n, np.uint8)
+        dev[perm] = corr.astype(np.uint8)
+        out, cons = gf2_osd_cs_host(gf2_pack_cols(H), m, lam,
+                                    perm[None, :], bp[None, :],
+                                    syn[None, :])
+        assert cons[0]
+        np.testing.assert_array_equal(dev, out[0])
+
+
+def test_osd_impl_host_cs_decoder_parity():
+    from ldpcdecoders_tpu.native import native_available
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+    H = lt.toric_code_x(3)
+    rng = np.random.default_rng(5)
+    x = (rng.random((64, H.shape[1])) < 0.06).astype(np.uint8)
+    syn = (x @ H.T) & 1
+    kw = dict(osd_order=8, osd_method="combination_sweep", osd_scope="all")
+    ed, _ = lt.BeliefPropagationOSDDecoder(H, 0.06, 40, **kw).batch_decode(
+        syn, seed=1)
+    eh, _ = lt.BeliefPropagationOSDDecoder(
+        H, 0.06, 40, osd_impl="host", **kw).batch_decode(syn, seed=1)
+    np.testing.assert_array_equal(ed, eh)
+    # exhaustive OSD-w>0 on host is still rejected
+    with pytest.raises(ValueError, match="combination_sweep"):
+        lt.BeliefPropagationOSDDecoder(H, 0.06, 40, osd_order=2,
+                                       osd_impl="host")
+
+
+def test_config_inner_minsum_roundtrip():
+    cfg = lt.DecoderConfig(kind="bposd", per=0.05, max_iters=30,
+                           inner="minsum")
+    assert lt.DecoderConfig.from_json(cfg.to_json()).inner == "minsum"
+    d = cfg.build(lt.toric_code_x(3))
+    syn = np.zeros((4, 9), np.uint8)
+    _, conv = d.batch_decode(syn)
+    assert conv.all()
