@@ -204,10 +204,40 @@ def main(argv=None):
                          "dem_logical_sweep (--trials shots; --rounds is "
                          "metadata for the per-round rate; --pers ignored)")
 
+    dm = sub.add_parser(
+        "dem",
+        help="build a CSS pair's memory-experiment circuit and write its "
+             "exact detector error model (flattened stim format)")
+    dm.add_argument("--code", required=True,
+                    help="CSS pair spec (toric:d | surface:d | bicycle:name)")
+    dm.add_argument("--rounds", type=int, default=3)
+    dm.add_argument("--p", type=float, required=True,
+                    help="uniform circuit-level depolarizing rate (sets all "
+                         "four noise knobs)")
+    dm.add_argument("--basis", default="z", choices=("z", "x"))
+    dm.add_argument("--out", required=True, help="output .dem path")
+
     a = ap.parse_args(argv)
 
-    if getattr(a, "dem", None) is None and a.code is None:
+    if a.cmd not in ("dem",) and getattr(a, "dem", None) is None \
+            and a.code is None:
         ap.error("--code is required (unless 'logical --dem FILE')")
+
+    if a.cmd == "dem":
+        from ldpcdecoders_tpu.codes.circuit import css_memory_circuit, dem_text
+
+        Hx, Hz = _build_css_pair(a.code)
+        circ = css_memory_circuit(Hx, Hz, a.rounds, p=a.p, basis=a.basis)
+        txt = (f"# {a.code} memory-{a.basis}, {a.rounds} rounds, uniform "
+               f"circuit-level depolarizing p={a.p}\n" + dem_text(circ))
+        with open(a.out, "w") as f:
+            f.write(txt)
+        print(json.dumps({
+            "out": a.out, "detectors": len(circ.detectors),
+            "observables": len(circ.observables),
+            "mechanisms": sum(1 for line in txt.splitlines()
+                              if line.startswith("error"))}))
+        return 0
 
     from ldpcdecoders_tpu.cache import enable_compilation_cache
     from ldpcdecoders_tpu.harness import FERSweep, find_threshold

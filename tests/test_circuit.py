@@ -313,3 +313,27 @@ def test_logical_error_grows_with_rounds():
         pred, _ = dec.predict_observables(det, seed=3)
         lers[R] = (pred != obs).any(axis=1).mean()
     assert lers[4] > 2 * lers[1], lers
+
+
+def test_cli_dem_roundtrip(tmp_path, capsys):
+    import json
+
+    from ldpcdecoders_tpu.cli import main
+
+    out = str(tmp_path / "m.dem")
+    main(["dem", "--code", "surface:3", "--rounds", "2", "--p", "0.004",
+          "--out", out])
+    meta = json.loads(capsys.readouterr().out)
+    assert meta["detectors"] == 16 and meta["observables"] == 1
+    # the emitted file equals the library-built model
+    Hx, Hz = _surface(3)
+    A0, p0, O0 = circuit_dem(css_memory_circuit(Hx, Hz, 2, p=0.004))
+    A1, p1, O1 = load_dem(out)
+    np.testing.assert_array_equal(
+        np.asarray(A0.todense()), np.asarray(A1.todense()))
+    np.testing.assert_allclose(p0, p1, rtol=1e-9)
+    # and decodes through the logical --dem path
+    main(["logical", "--dem", out, "--trials", "256", "--rounds", "2",
+          "--max-iters", "20"])
+    res = json.loads(capsys.readouterr().out)
+    assert res["shots"] == 256
