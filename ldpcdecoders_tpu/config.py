@@ -34,7 +34,7 @@ _KINDS = (
 #: inner decoder's DecoderConfig
 _INNER_KNOBS = ("osd_order", "T", "C", "alpha", "beta", "scale", "beta_q",
                 "use_pallas", "fused", "osd_scope", "osd_method",
-                "osd_impl", "inner")
+                "osd_impl", "inner", "damping")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -79,6 +79,8 @@ class DecoderConfig:
     #: circuit-level detector graphs — measured 0.61 vs 0.05 converged
     #: on the bb144 circuit DEM)
     inner: str | None = None
+    #: minsum family: message damping in [0, 1) (loopy-graph stabilizer)
+    damping: float = 0.0
     #: qc_minsum only: 'auto' (fused Pallas kernel on TPU, XLA edge-list
     #: elsewhere), 'pallas', or 'xla'
     backend: str = "auto"
@@ -187,7 +189,7 @@ class DecoderConfig:
             return lt.BPOTSDecoder(H, self.per, self.max_iters, T=self.T, C=self.C)
         if k == "minsum":
             return lt.MinSumDecoder(
-                H, self.per, self.max_iters,
+                H, self.per, self.max_iters, damping=self.damping,
                 alpha=1.0 if self.alpha is None else self.alpha,
                 beta=self.beta,
                 use_pallas=bool(self.use_pallas),

@@ -477,8 +477,12 @@ class BeliefPropagationOSDDecoder(Decoder):
         device kernels."""
         from ..native import gf2_osd0_host, gf2_osd_cs_host
 
-        probs = np.exp(logp_np.astype(np.float32))
-        rel = np.maximum(probs, 1.0 - probs)
+        with np.errstate(over="ignore"):
+            # large LLRs overflow exp to inf exactly as the device path's
+            # f32 exp does; inf reliabilities tie and break by index the
+            # same way, so ordering parity is preserved
+            probs = np.exp(logp_np.astype(np.float32))
+            rel = np.maximum(probs, 1.0 - probs)
         order = np.argsort(-rel, axis=1, kind="stable").astype(np.int32)
         if self.osd_method == "combination_sweep":
             out, _ = gf2_osd_cs_host(self._Hcols, self.m, self.osd_order,

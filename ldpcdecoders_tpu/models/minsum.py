@@ -38,8 +38,14 @@ def make_minsum_decode_fn(
     use_pallas: bool = False,
     pallas_interpret: bool = False,
     edge_weights=None,
+    damping: float = 0.0,
 ):
     """Build a jittable ``syndromes [B,m] -> (err, converged, iters, llrs)``.
+
+    ``damping`` in [0, 1) mixes each new variable->check message with the
+    previous iteration's (``nu <- damping * nu_old + (1-damping) * nu_new``)
+    — the standard stabilizer for loopy, trapping-set-heavy graphs such
+    as circuit-level detector models, at zero extra memory passes.
 
     With ``use_pallas=True`` the check/var updates run as fused Pallas
     kernels (ops/pallas_minsum.py); the cross-layout gathers remain XLA
@@ -83,6 +89,11 @@ def make_minsum_decode_fn(
                 f"edge_weights must be [{max_iters}, {max_dv}, {n}], "
                 f"got {edge_weights.shape}"
             )
+    if damping and use_pallas:
+        raise ValueError("use_pallas does not support damping")
+    if not 0.0 <= float(damping) < 1.0:
+        raise ValueError(f"damping must be in [0, 1), got {damping}")
+    gam = dtype(damping)
     big = dtype(1e30)
 
     def check_update(nu_flat, syn_flip, alpha=alpha, beta=beta):
@@ -200,6 +211,8 @@ def make_minsum_decode_fn(
                 nu_n, total = var_update(mu, L0, W=edge_weights[it])
             else:
                 nu_n, total = var_update(mu, L0)
+            if damping:
+                nu_n = gam * nu + (dtype(1.0) - gam) * nu_n
             errn = (total < 0).astype(jnp.float32)
             active = ~done
             # freeze only the [B, n] outputs; unfrozen [B, E] messages on
@@ -227,6 +240,9 @@ class MinSumDecoder(Decoder):
       alpha: normalization factor (1.0 = plain min-sum; ~0.8 typically
         recovers most of the sum-product gap).
       beta: offset subtracted from the magnitude before clamping at 0.
+      damping: message-damping factor in [0, 1) — mixes in the previous
+        iteration's variable->check messages; measurably lifts
+        convergence on degenerate circuit-level detector graphs.
       dtype: message dtype — jnp.bfloat16 is the fastest variant measured
         (3.2e10 edge-iterations/s on v5e vs 2.3e10 f32 / 2.8e10 int8).
 
@@ -250,6 +266,7 @@ class MinSumDecoder(Decoder):
         beta: float = 0.0,
         dtype=jnp.float32,
         use_pallas: bool = False,
+        damping: float = 0.0,
     ):
         self.graph = H if isinstance(H, TannerGraph) else TannerGraph.from_pcm(H)
         self.m, self.n = self.graph.m, self.graph.n
@@ -257,6 +274,7 @@ class MinSumDecoder(Decoder):
         self.max_iters = int(max_iters)
         self.alpha = alpha if np.ndim(alpha) else float(alpha)
         self.beta = beta if np.ndim(beta) else float(beta)
+        self.damping = float(damping)
         self._use_pallas = bool(use_pallas)
         if use_pallas:
             self.supports_per_override = False  # kernels bake the prior
@@ -270,6 +288,7 @@ class MinSumDecoder(Decoder):
                 beta=self.beta,
                 dtype=dtype,
                 use_pallas=use_pallas,
+                damping=self.damping,
             )
         )
 

@@ -62,3 +62,32 @@ def test_minsum_irregular_graph():
     synhat = (guesses.astype(int) @ H.T) % 2
     for b in np.flatnonzero(conv):
         assert np.array_equal(synhat[b], syns[b])
+
+
+def test_damping_mechanics_and_validation():
+    """Message damping: valid range enforced, damping=0 is the plain
+    decoder bit for bit, and damped decoding stays syndrome-consistent
+    on converged lanes."""
+    H = lt.parity_check_matrix(240, 6, 3, rng=5)
+    rng = np.random.default_rng(0)
+    errs = rng.random((64, 240)) < 0.02
+    syn = (errs @ H.T % 2).astype(np.uint8)
+    base = lt.MinSumDecoder(H, 0.02, 40)
+    damp0 = lt.MinSumDecoder(H, 0.02, 40, damping=0.0)
+    e0, c0 = base.batch_decode(syn)
+    e1, c1 = damp0.batch_decode(syn)
+    np.testing.assert_array_equal(e0, e1)
+    d = lt.MinSumDecoder(H, 0.02, 40, damping=0.4)
+    ed, cd = d.batch_decode(syn)
+    ok = (ed[cd].astype(np.uint8) @ H.T % 2 == syn[cd]).all()
+    assert ok and cd.mean() > 0.9
+    with pytest.raises(ValueError, match="damping"):
+        lt.MinSumDecoder(H, 0.02, 10, damping=1.0)
+    with pytest.raises(ValueError, match="damping"):
+        lt.MinSumDecoder(H, 0.02, 10, damping=0.5, use_pallas=True)
+    # config round-trip + build
+    cfg = lt.DecoderConfig(kind="minsum", per=0.02, max_iters=20,
+                           damping=0.3)
+    assert lt.DecoderConfig.from_json(cfg.to_json()).damping == 0.3
+    dec = cfg.build(H)
+    assert dec.damping == 0.3
