@@ -182,6 +182,7 @@ class DecoderConfig:
                 fused=self.fused, osd_scope=self.osd_scope,
                 osd_method=self.osd_method, osd_impl=self.osd_impl,
                 use_pallas=self.use_pallas, inner=self.inner,
+                damping=self.damping,
             )
         if k == "bitflip":
             return lt.BitFlipDecoder(H, self.per, self.max_iters)

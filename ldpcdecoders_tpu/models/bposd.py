@@ -38,7 +38,8 @@ from .priors import next_pow2, per_to_llr
 __all__ = ["BeliefPropagationOSDDecoder", "make_fused_bposd_fn"]
 
 
-def _make_inner(graph: TannerGraph, per: float, max_iters: int, inner):
+def _make_inner(graph: TannerGraph, per: float, max_iters: int, inner,
+                damping: float = 0.0):
     """Resolve the OSD's inner soft-output decoder.
 
     Returns ``(decode_fn, prior_fn)`` where ``decode_fn(syndromes, prior)
@@ -56,11 +57,17 @@ def _make_inner(graph: TannerGraph, per: float, max_iters: int, inner):
     which turns this into neural-BP+OSD.
     """
     if inner is None or inner == "sumproduct":
+        if damping:
+            raise ValueError(
+                "damping is a min-sum knob; use inner='minsum' (or pass a "
+                "damped MinSumDecoder instance)")
         return make_bp_decode_fn(graph, per, max_iters), _prior_fn_for(graph, inner)
     if inner == "minsum":
         from .minsum import make_minsum_decode_fn
 
-        return make_minsum_decode_fn(graph, per, max_iters), _prior_fn_for(graph, inner)
+        return (make_minsum_decode_fn(graph, per, max_iters,
+                                      damping=damping),
+                _prior_fn_for(graph, inner))
     fn = getattr(inner, "_decode_fn", None)
     inner_graph = getattr(inner, "graph", None)
     if fn is None or inner_graph is None:
@@ -241,6 +248,7 @@ def make_fused_bposd_fn(
     osd_scope: str = "all",
     inner=None,
     osd_method: str = "exhaustive",
+    damping: float = 0.0,
 ):
     """Build ONE jittable program: BP + ``lax.cond``-gated OSD post-processing.
 
@@ -260,7 +268,7 @@ def make_fused_bposd_fn(
     rates; prefer the default compacting path for throughput at noise
     levels where failures are routine.
     """
-    bp_fn, _ = _make_inner(graph, per, max_iters, inner)
+    bp_fn, _ = _make_inner(graph, per, max_iters, inner, damping=damping)
     osd0_batch, osdw_batch = make_osd_fns(
         graph, osd_order, use_pallas=use_pallas, osd_method=osd_method
     )
@@ -363,6 +371,7 @@ class BeliefPropagationOSDDecoder(Decoder):
         inner=None,
         osd_method: str = "exhaustive",
         osd_impl: str = "device",
+        damping: float = 0.0,
     ):
         if osd_scope not in ("all", "failed"):
             raise ValueError("osd_scope must be 'all' or 'failed'")
@@ -416,6 +425,7 @@ class BeliefPropagationOSDDecoder(Decoder):
         self.inner = inner
         self.osd_method = osd_method
         self.osd_impl = osd_impl
+        self.damping = float(damping)
         self._Hcols = None
         if osd_impl == "host":
             # the threaded C++ column-reduction eliminator
@@ -451,12 +461,14 @@ class BeliefPropagationOSDDecoder(Decoder):
                     osd_scope=self.osd_scope,
                     inner=inner,
                     osd_method=self.osd_method,
+                    damping=self.damping,
                 )
             )
             self._prior_fn = _prior_fn_for(self.graph, inner)
         else:
             inner_fn, self._prior_fn = _make_inner(
-                self.graph, self.per, self.max_iters, inner
+                self.graph, self.per, self.max_iters, inner,
+                damping=self.damping,
             )
             self._bp_fn = jax.jit(inner_fn)
             osd0, osdw = make_osd_fns(

@@ -91,3 +91,22 @@ def test_damping_mechanics_and_validation():
     assert lt.DecoderConfig.from_json(cfg.to_json()).damping == 0.3
     dec = cfg.build(H)
     assert dec.damping == 0.3
+
+
+def test_bposd_damped_minsum_inner():
+    """damping threads through bposd (fused and compacting) with
+    inner='minsum'; sumproduct + damping is rejected."""
+    H = lt.toric_code_x(3)
+    syn = np.zeros((4, 9), np.uint8)
+    syn[1, 2] = 1
+    syn[1, 5] = 1
+    fused = lt.BeliefPropagationOSDDecoder(H, 0.05, 30, inner="minsum",
+                                           damping=0.3, fused=True)
+    comp = lt.BeliefPropagationOSDDecoder(H, 0.05, 30, inner="minsum",
+                                          damping=0.3)
+    ef, cf = fused.batch_decode(syn)
+    ec, cc = comp.batch_decode(syn)
+    np.testing.assert_array_equal(ef, ec)
+    assert (((ef.astype(np.uint8) @ H.T) & 1) == syn).all()
+    with pytest.raises(ValueError, match="min-sum knob"):
+        lt.BeliefPropagationOSDDecoder(H, 0.05, 30, damping=0.3)
