@@ -159,6 +159,32 @@ def main():
     except Exception as e:  # pragma: no cover - diagnostic only
         sweep_extra = {"fer_sweep_error": repr(e)[:200]}
 
+    # circuit-level tier: exact-DEM decode of the rotated surface code
+    # (recommended damped-min-sum config), fully device-resident
+    circuit_extra = {}
+    try:
+        from ldpcdecoders_tpu.codes.circuit import (circuit_dem,
+                                                    css_memory_circuit)
+        from ldpcdecoders_tpu.harness import dem_logical_sweep
+        from ldpcdecoders_tpu.models.detector import DetectorGraphDecoder
+
+        c = css_memory_circuit(lt.surface_code_x(3), lt.surface_code_z(3),
+                               3, p=0.003)
+        A, pr, O = circuit_dem(c)
+        cdec = DetectorGraphDecoder(A, pr, 100, observables=O, fused=True,
+                                    inner="minsum", damping=0.4)
+        dem_logical_sweep(cdec, shots=2048, batch=2048, seed=5)  # warm
+        cout = dem_logical_sweep(cdec, shots=16384, batch=2048, seed=5,
+                                 rounds=3)
+        circuit_extra = {
+            "circuit_level_shots_per_s": round(
+                cout["throughput_shots_per_s"], 1),
+            "circuit_level_ler_per_round": round(
+                cout["per_round_rate"], 6),
+        }
+    except Exception as e:  # pragma: no cover - diagnostic only
+        circuit_extra = {"circuit_level_error": repr(e)[:200]}
+
     target = 1e7  # BASELINE.json north-star: edge-iterations/s/chip
     result = {
         "metric": "bp_edge_iterations_per_s_per_chip",
@@ -176,6 +202,7 @@ def main():
             "decoded_syndromes_per_s_bposd_fused_pipelined": round(bposd_pipelined, 1),
             **qc_extra,
             **sweep_extra,
+            **circuit_extra,
             "converged_fraction_real": conv_bpr,
             "batch": B,
             "iters_executed": it_bp,

@@ -70,6 +70,8 @@ def test_top_level_api_surface():
         "NeuralMinSumDecoder",
         "SpaceTimeDecoder", "SlidingWindowDecoder", "DetectorGraphDecoder",
         "load_dem",
+        "StabilizerCircuit", "css_memory_circuit", "circuit_dem",
+        "dem_text", "sample_circuit",
         "decode_soft",
         "qc_lift", "random_qc_base_matrix",
         "bivariate_bicycle_code", "named_bicycle_code", "css_code_k",
