@@ -31,6 +31,11 @@ class TableauSimulator:
         self.x[np.arange(n), np.arange(n)] = True        # destabilizers X_i
         self.z[n + np.arange(n), np.arange(n)] = True    # stabilizers  Z_i
         self.rng = rng if rng is not None else np.random.default_rng(0)
+        # persistent scratch row (row index 2n) for deterministic
+        # measurements — avoids re-stacking the whole tableau per shot
+        self.x = np.vstack([self.x, np.zeros(n, bool)])
+        self.z = np.vstack([self.z, np.zeros(n, bool)])
+        self.r = np.append(self.r, False)
 
     # -- gates ---------------------------------------------------------------
 
@@ -78,7 +83,8 @@ class TableauSimulator:
     def measure_z(self, q: int) -> tuple[int, bool]:
         """Measure Z on qubit ``q``.  Returns ``(outcome, deterministic)``."""
         n = self.n
-        stab_anticommute = np.flatnonzero(self.x[n:, q])
+        # rows n..2n-1 only: row 2n is the scratch row, never a stabilizer
+        stab_anticommute = np.flatnonzero(self.x[n:2 * n, q])
         if stab_anticommute.size:
             p = n + int(stab_anticommute[0])
             for i in range(2 * n):
@@ -95,23 +101,15 @@ class TableauSimulator:
             self.r[p] = out
             return int(out), False
         # deterministic: accumulate stabilizer rows whose destabilizer
-        # partner anticommutes with Z_q into a scratch row
-        sx = np.zeros(self.n, bool)
-        sz = np.zeros(self.n, bool)
-        sr = False
-        # temporary scratch row appended logically: reuse arrays
-        self.x = np.vstack([self.x, sx])
-        self.z = np.vstack([self.z, sz])
-        self.r = np.append(self.r, sr)
+        # partner anticommutes with Z_q into the persistent scratch row
         h = 2 * n
+        self.x[h] = False
+        self.z[h] = False
+        self.r[h] = False
         for i in range(n):
             if self.x[i, q]:
                 self._rowmult_into(h, i + n)
-        out = bool(self.r[h])
-        self.x = self.x[:h]
-        self.z = self.z[:h]
-        self.r = self.r[:h]
-        return int(out), True
+        return int(bool(self.r[h])), True
 
     def reset_z(self, q: int):
         out, _ = self.measure_z(q)

@@ -296,6 +296,12 @@ def gf2_osd0_host(Hcols: np.ndarray, m: int, order: np.ndarray,
         raise ValueError(
             f"shape mismatch: order {order.shape}, bp {bp.shape}, "
             f"syn {syn.shape} for n={n}, m={m}")
+    if order.size and (order.min() < 0 or order.max() >= n):
+        # the C++ indexes Hcols with these directly; OOB would be UB
+        raise ValueError("order entries must be column indices in [0, n)")
+    if mw != (m + 63) // 64:
+        raise ValueError(
+            f"m={m} inconsistent with packed-column width {mw} words")
     out = np.empty((B, n), np.uint8)
     consistent = np.empty(B, np.uint8)
     lib.gf2_osd0_host(Hcols.ctypes.data, n, m, mw, order.ctypes.data,
@@ -326,6 +332,13 @@ def gf2_osd_cs_host(Hcols: np.ndarray, m: int, lam: int, order: np.ndarray,
         raise ValueError(
             f"shape mismatch: order {order.shape}, bp {bp.shape}, "
             f"syn {syn.shape} for n={n}, m={m}")
+    if order.size and (order.min() < 0 or order.max() >= n):
+        raise ValueError("order entries must be column indices in [0, n)")
+    if mw != (m + 63) // 64:
+        raise ValueError(
+            f"m={m} inconsistent with packed-column width {mw} words")
+    if lam < 0:
+        raise ValueError("lam must be >= 0")
     out = np.empty((B, n), np.uint8)
     consistent = np.empty(B, np.uint8)
     lib.gf2_osd_cs_host(Hcols.ctypes.data, n, m, mw, int(lam),

@@ -211,7 +211,7 @@ inline int64_t popcount_and3(const uint64_t* a, const uint64_t* b,
 
 struct CsWorkspace {
   std::vector<uint64_t> red, combo, npw;  // basis + non-pivot combos
-  std::vector<int64_t> prow;
+  std::vector<int64_t> prow, d1;
   std::vector<int32_t> pivcol, npcol;
   std::vector<uint64_t> cand, cw, rhs, acc;
 };
@@ -276,7 +276,7 @@ void osd_cs_lane(const uint64_t* Hcols, int64_t n, int64_t m, int64_t mw,
   //   + popcount(w_c) - 2 popcount(w_c & y0)
   const uint64_t* y0 = acc;
   int64_t best1 = 1ll << 40, j1 = -1;
-  std::vector<int64_t> d1(n_np);
+  int64_t* d1 = ws.d1.data();
   for (int64_t k = 0; k < n_np; ++k) {
     const uint64_t* w = ws.npw.data() + k * pw;
     int64_t t = popcount_words(w, pw) - 2 * popcount_and(w, y0, pw);
@@ -342,6 +342,7 @@ void gf2_osd_cs_host(const uint64_t* Hcols, int64_t n, int64_t m,
     ws.red.resize(m * mw);
     ws.combo.resize(m * pw);
     ws.npw.resize(n * pw);
+    ws.d1.resize(n);
     ws.prow.resize(m);
     ws.pivcol.resize(m);
     ws.npcol.resize(n);
