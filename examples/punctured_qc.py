@@ -15,7 +15,8 @@ import ldpcdecoders_tpu as lt
 Z = 128
 base = lt.random_qc_base_matrix(24, 6, 3, Z, rng=0)   # rate-3/4 QC code
 dec = lt.QCMinSumDecoder(base, Z, per=0.02, max_iters=60,
-                         schedule="layered")          # fused Pallas kernel
+                         schedule="layered",          # fused Pallas kernel
+                         backend="auto")              # (XLA off-TPU)
 n = dec.n
 punctured = np.zeros(n, bool)
 punctured[: 2 * Z] = True                             # never transmitted

@@ -231,6 +231,12 @@ class QCMinSumDecoder(Decoder):
                 f"unknown algorithm {algorithm!r} (want 'minsum' or 'sumproduct')"
             )
         self.algorithm = algorithm
+        if backend == "auto":
+            # mirror DecoderConfig's resolution: the fused kernel on TPU,
+            # the generic XLA edge-list decoder elsewhere (CPU/GPU cannot
+            # lower the Mosaic kernel)
+            backend = ("pallas" if jax.devices()[0].platform == "tpu"
+                       else "xla")
         self.alpha = float(alpha) if alpha is not None else (
             0.8 if schedule == "layered" and algorithm == "minsum" else 1.0
         )
