@@ -1240,7 +1240,7 @@ def dem_logical_sweep(
         else:
             dec = DetectorGraphDecoder.from_dem(dem, max_iters,
                                                 decoder=decoder, **dec_kw)
-    if dec.O is None:
+    if dec.O is None or dec.O.shape[0] == 0:
         raise ValueError("the model declares no logical observables")
 
     use_dev = circuit is None if on_device is None else bool(on_device)
@@ -1254,9 +1254,11 @@ def dem_logical_sweep(
     from .cache import ensure_default_cache
 
     ensure_default_cache()
-    Ad = jnp.asarray(np.asarray(dec.A.todense()), jnp.float32)
-    Od = jnp.asarray(dec.O, jnp.float32)
-    prior = jnp.asarray(dec._prior, jnp.float32)
+    A_dense = np.asarray(dec.A.todense())  # hoisted: host batches reuse it
+    if use_dev:  # device constants only when a device step will run
+        Ad = jnp.asarray(A_dense, jnp.float32)
+        Od = jnp.asarray(dec.O, jnp.float32)
+        prior = jnp.asarray(dec._prior, jnp.float32)
 
     def make_step(b):
         def step(noise_seed, decode_seed):
@@ -1328,7 +1330,7 @@ def dem_logical_sweep(
                 obs = circ_obs[lo: lo + b]
             else:
                 x = (rng.random((b, dec.N)) < dec._prior).astype(np.uint8)
-                det = (x @ np.asarray(dec.A.todense()).T) & 1
+                det = (x @ A_dense.T) & 1
                 obs = (x @ dec.O.T) & 1
             pred, conv = dec.predict_observables(det, seed=decode_seed)
             item = (int((pred != obs).any(axis=1).sum()),

@@ -97,7 +97,6 @@ def _gf2_rank(H: np.ndarray) -> int:
     H = np.asarray(H, dtype=np.uint8)
     m, n = H.shape
     W = (n + 63) // 64
-    rows = np.zeros((m, W), np.uint64)
     pad = W * 64 - n
     bits = np.pad(H, [(0, 0), (0, pad)]).reshape(m, W, 64).astype(np.uint64)
     rows = (bits << np.arange(64, dtype=np.uint64)).sum(axis=2, dtype=np.uint64)
@@ -516,7 +515,11 @@ class BeliefPropagationOSDDecoder(Decoder):
             return errs, converged, iters, {"log_probabs": logp}
         bp_err, converged, iters, logp = self._bp_fn(syn, ratio)
 
-        if self.osd_order > 0 and self.osd_scope == "all":
+        # host impl dispatches BEFORE the device OSD-w branch: the whole
+        # point of osd_impl='host' (+ combination_sweep at order > 0) is
+        # detector models too wide for the device elimination
+        if self.osd_order > 0 and self.osd_scope == "all" \
+                and self.osd_impl != "host":
             corr = self._osdw_batch(syn, bp_err, logp)
             return corr.astype(jnp.int8), converged, iters, {"log_probabs": logp}
 

@@ -170,10 +170,18 @@ class SlidingWindowDecoder:
             raise ValueError(
                 f"expected detectors of shape [B, R, {self.m}], got {d.shape}")
         if self._jit_ok:
+            import jax
+
             try:
                 return self._decode_stream_device(d, seed)
-            except Exception:
-                self._jit_ok = False  # untraceable inner: eager fallback
+            except (TypeError, jax.errors.TracerArrayConversionError,
+                    jax.errors.ConcretizationTypeError,
+                    jax.errors.TracerBoolConversionError):
+                # untraceable inner decoder: latch the eager fallback.
+                # Runtime errors (OOM, shape bugs) propagate — silently
+                # demoting every future stream to the host loop would
+                # hide them.
+                self._jit_ok = False
         return self._decode_stream_host(d, seed)
 
     def _decode_stream_device(self, d, seed: int):

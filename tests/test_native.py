@@ -252,3 +252,32 @@ def test_config_inner_minsum_roundtrip():
     syn = np.zeros((4, 9), np.uint8)
     _, conv = d.batch_decode(syn)
     assert conv.all()
+
+
+def test_osd_impl_host_cs_actually_dispatches_host(monkeypatch):
+    """Regression: osd_order>0 + combination_sweep + osd_scope='all' +
+    osd_impl='host' must run the NATIVE eliminator, not the device
+    OSD-w branch (the whole point of the host impl is models too wide
+    for the device elimination)."""
+    from ldpcdecoders_tpu.models import bposd as bposd_mod
+    from ldpcdecoders_tpu.native import gf2_osd_cs_host, native_available
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+    calls = []
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return gf2_osd_cs_host(*a, **kw)
+
+    import ldpcdecoders_tpu.native as native_mod
+
+    monkeypatch.setattr(native_mod, "gf2_osd_cs_host", spy)
+    H = lt.toric_code_x(3)
+    dec = lt.BeliefPropagationOSDDecoder(
+        H, 0.06, 30, osd_order=6, osd_method="combination_sweep",
+        osd_scope="all", osd_impl="host")
+    syn = np.zeros((8, H.shape[0]), np.uint8)
+    syn[1, 3] = 1
+    dec.batch_decode(syn, seed=1)
+    assert calls, "native OSD-CS was never invoked"
