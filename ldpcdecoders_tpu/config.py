@@ -206,7 +206,7 @@ class DecoderConfig:
             return dec
         if k == "layered_minsum":
             return lt.LayeredMinSumDecoder(
-                H, self.per, self.max_iters,
+                H, self.per, self.max_iters, damping=self.damping,
                 alpha=0.8 if self.alpha is None else self.alpha,
                 beta=self.beta,
             )

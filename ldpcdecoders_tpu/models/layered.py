@@ -64,12 +64,18 @@ def make_layered_minsum_fn(
     alpha: float = 1.0,
     beta: float = 0.0,
     dtype=jnp.float32,
+    damping: float = 0.0,
 ):
     """Build a jittable layered min-sum ``syndromes [B,m] -> (err, conv, sweeps, llr)``.
 
     ``max_iters`` counts full sweeps (all layers), comparable to flooding
-    iterations.
+    iterations.  ``damping`` in [0, 1) mixes each layer's new check
+    messages with the previous sweep's (``mu <- damping*mu_old +
+    (1-damping)*mu_new``) — the loopy-graph stabilizer, as in
+    :func:`~.minsum.make_minsum_decode_fn`.
     """
+    if not 0.0 <= float(damping) < 1.0:
+        raise ValueError(f"damping must be in [0, 1), got {damping}")
     m, n = graph.m, graph.n
     max_dc = graph.max_dc
     layer_of, L = build_layers(graph)
@@ -98,6 +104,7 @@ def make_layered_minsum_fn(
     default_L0 = jnp.asarray(per_to_llr(per, n), dtype)
     alpha = dtype(alpha)
     beta = dtype(beta)
+    gam = dtype(damping)
     big = dtype(1e30)
 
     def layer_update(total, mu_l, syn_flip_l, cv_l, cm_l):
@@ -131,6 +138,8 @@ def make_layered_minsum_fn(
             mag_out = jnp.maximum(alpha * excl - beta, dtype(0.0))
             outs.append(jnp.where(flip, -mag_out, mag_out))
         mu_new = jnp.where(cm_l, jnp.concatenate(outs, axis=-1), dtype(0.0))
+        if damping:
+            mu_new = gam * mu_l + (dtype(1.0) - gam) * mu_new
         # conflict-free layer -> unique var indices within the layer
         delta = (mu_new - mu_l).reshape(B, -1)
         # padded slots all point at variable 0 with delta exactly 0, so
@@ -203,15 +212,18 @@ class LayeredMinSumDecoder(Decoder):
         flooding's 3.5.
     """
 
-    def __init__(self, H, per, max_iters: int, *, alpha: float = 0.8, beta: float = 0.0):
+    def __init__(self, H, per, max_iters: int, *, alpha: float = 0.8,
+                 beta: float = 0.0, damping: float = 0.0):
         self.graph = H if isinstance(H, TannerGraph) else TannerGraph.from_pcm(H)
         self.m, self.n = self.graph.m, self.graph.n
         self.per = per if np.ndim(per) else float(per)
         self.max_iters = int(max_iters)
+        self.damping = float(damping)
         self.n_layers = build_layers(self.graph)[1]
         self._decode_fn = jax.jit(
             make_layered_minsum_fn(
-                self.graph, self.per, self.max_iters, alpha=alpha, beta=beta
+                self.graph, self.per, self.max_iters, alpha=alpha, beta=beta,
+                damping=self.damping,
             )
         )
 

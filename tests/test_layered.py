@@ -67,3 +67,23 @@ def test_layered_irregular_graph():
     synhat = (guesses.astype(int) @ H.T) % 2
     for b in np.flatnonzero(conv):
         assert np.array_equal(synhat[b], syns[b])
+
+
+def test_layered_damping_knob():
+    H = lt.parity_check_matrix(240, 6, 3, rng=5)
+    rng = np.random.default_rng(0)
+    errs = rng.random((32, 240)) < 0.02
+    syn = (errs @ H.T % 2).astype(np.uint8)
+    base = lt.LayeredMinSumDecoder(H, 0.02, 30)
+    d0 = lt.LayeredMinSumDecoder(H, 0.02, 30, damping=0.0)
+    e0, _ = base.batch_decode(syn)
+    e1, _ = d0.batch_decode(syn)
+    np.testing.assert_array_equal(e0, e1)  # damping=0 is the plain decoder
+    d = lt.LayeredMinSumDecoder(H, 0.02, 30, damping=0.3)
+    ed, cd = d.batch_decode(syn)
+    assert (ed[cd].astype(np.uint8) @ H.T % 2 == syn[cd]).all()
+    with pytest.raises(ValueError, match="damping"):
+        lt.LayeredMinSumDecoder(H, 0.02, 10, damping=1.5)
+    cfg = lt.DecoderConfig(kind="layered_minsum", per=0.02, max_iters=20,
+                           damping=0.25)
+    assert cfg.build(H).damping == 0.25
