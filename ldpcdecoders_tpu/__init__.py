@@ -61,6 +61,7 @@ from .models import (
     SpaceTimeDecoder,
     SlidingWindowDecoder,
     DetectorGraphDecoder,
+    EnsembleDecoder,
     load_dem,
     decode_soft,
 )

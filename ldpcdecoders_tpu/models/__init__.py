@@ -15,6 +15,7 @@ from .neural import NeuralMinSumDecoder
 from .spacetime import SpaceTimeDecoder
 from .window import SlidingWindowDecoder
 from .detector import DetectorGraphDecoder, load_dem
+from .ensemble import EnsembleDecoder
 
 __all__ = [
     "Decoder",
@@ -37,6 +38,7 @@ __all__ = [
     "SpaceTimeDecoder",
     "SlidingWindowDecoder",
     "DetectorGraphDecoder",
+    "EnsembleDecoder",
     "load_dem",
     "decode_soft",
 ]

@@ -1,0 +1,126 @@
+"""Ensemble decoding: K member decoders, one max-likelihood pick.
+
+BP-family decoders on degenerate graphs (circuit-level detector models
+especially) fail on *different* shots depending on schedule knobs — a
+measured fact: three damping values decode disjoint-enough failure sets
+that picking per shot cuts bb144 circuit-level failures 2.4x over the
+best single member (45 vs 106 on identical shots, LER 0.052 -> 0.022
+at p=0.003; benchmarks/results/circuit_level_bb144_r3.json, ROADMAP).
+
+:class:`EnsembleDecoder` productizes that experiment under the uniform
+:class:`~.base.Decoder` contract: every member decodes the batch, and
+each shot takes the **maximum-likelihood syndrome-consistent**
+candidate — ranked by the soft prior weight ``sum(log((1-p)/p))`` over
+asserted error positions (true ML under independent priors; plain
+Hamming weight when no prior is given), NOT first-come.  Shots where
+no member is consistent keep the first member's output (flagged
+non-converged).
+
+Cost is K sequential member decodes (device) plus one host selection
+pass; members may be ANY mix of decoders on the same code (different
+damping/alpha/schedules/inners — even different families).
+
+No reference analog: the reference runs one decoder per call
+(/root/reference/src/decoders/abstract_decoder.jl:31-48); this is the
+TPU-era accuracy tier built on top of that same contract.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .base import Decoder
+
+__all__ = ["EnsembleDecoder"]
+
+
+class EnsembleDecoder(Decoder):
+    """Decode with every member; per shot keep the most likely
+    syndrome-consistent candidate.
+
+    Args:
+      members: decoders on the same ``[m, n]`` code (at least one).
+      priors: optional ``[n]`` per-bit error probabilities used for the
+        ML ranking (e.g. a DEM's mechanism priors).  ``None`` ranks by
+        Hamming weight (uniform-prior ML).
+      H: optional explicit ``[m, n]`` parity-check / detector matrix
+        for the consistency check; defaults to the first member's
+        attached dense matrix.
+    """
+
+    def __init__(self, members, *, priors=None, H=None):
+        members = list(members)
+        if not members:
+            raise ValueError("need at least one member decoder")
+        m, n = members[0].m, members[0].n
+        for d in members:
+            if (d.m, d.n) != (m, n):
+                raise ValueError(
+                    f"member {type(d).__name__} is [{d.m}, {d.n}]; "
+                    f"ensemble is [{m}, {n}]")
+        self.members = members
+        self.m, self.n = m, n
+        if H is None:
+            graph = getattr(members[0], "graph", None)
+            if graph is None or getattr(graph, "H", None) is None:
+                raise ValueError(
+                    "pass H= explicitly (the first member carries no "
+                    "dense matrix for the consistency check)")
+            H = graph.H
+        self._H = (np.asarray(H.todense() if hasattr(H, "todense") else H)
+                   != 0).astype(np.uint8)
+        if self._H.shape != (m, n):
+            raise ValueError(f"H must be [{m}, {n}], got {self._H.shape}")
+        if priors is None:
+            self._w = np.ones(n, np.float64)  # Hamming weight
+        else:
+            priors = np.asarray(priors, np.float64)
+            if priors.shape != (n,) or np.any(priors <= 0) or np.any(
+                    priors >= 1):
+                raise ValueError(
+                    f"priors must be [{n}] strictly in (0, 1)")
+            self._w = np.log((1.0 - priors) / priors)
+        self.supports_per_override = all(
+            d.supports_per_override for d in members)
+        self.supports_vector_prior = all(
+            d.supports_vector_prior for d in members)
+        # convergence reports "some member produced a consistent
+        # candidate", which by construction implies a syndrome match
+        self.converged_implies_syndrome_match = True
+
+    def _decode_batch(self, syndromes, seed: int = 0, per=None):
+        syn = np.asarray(syndromes).astype(np.uint8)
+        B = syn.shape[0]
+        best = np.full(B, np.inf)
+        out = None
+        iters_acc = np.zeros(B, np.int64)
+        any_consistent = np.zeros(B, bool)
+        for k, dec in enumerate(self.members):
+            e, conv, iters, _ = dec._call_decode(syn, seed + k, per)
+            e = np.asarray(e).astype(np.uint8)
+            iters_acc += np.asarray(iters, np.int64)
+            consistent = (((e @ self._H.T) & 1) == syn).all(axis=1)
+            score = np.where(consistent, (e * self._w[None, :]).sum(axis=1),
+                             np.inf)
+            if out is None:
+                out = e.copy()  # fallback: first member's output
+            upd = score < best
+            out[upd] = e[upd]
+            best[upd] = score[upd]
+            any_consistent |= consistent
+        import jax.numpy as jnp
+
+        return (jnp.asarray(out.astype(np.int8)),
+                jnp.asarray(any_consistent),
+                jnp.asarray(iters_acc, jnp.int32),
+                {"ml_score": jnp.asarray(np.where(np.isinf(best), -1.0,
+                                                  best))})
+
+    def batch_decode(self, syndromes, *, seed: int = 0, per=None):
+        syndromes = np.asarray(syndromes)
+        if syndromes.ndim != 2 or syndromes.shape[1] != self.m:
+            raise ValueError(
+                f"expected syndromes of shape [B, {self.m}], got "
+                f"{syndromes.shape}")
+        err, conv, _, _ = self._call_decode(syndromes, seed, per)
+        return np.asarray(err), np.asarray(conv)

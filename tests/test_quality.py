@@ -67,7 +67,7 @@ def test_top_level_api_surface():
         "BitFlipDecoder", "BPOTSDecoder", "MinSumDecoder",
         "QuantizedMinSumDecoder", "LayeredMinSumDecoder", "BucketedDecoder",
         "QCMinSumDecoder", "ErasurePeelingDecoder", "MixedChannelDecoder",
-        "NeuralMinSumDecoder",
+        "NeuralMinSumDecoder", "EnsembleDecoder",
         "SpaceTimeDecoder", "SlidingWindowDecoder", "DetectorGraphDecoder",
         "load_dem",
         "StabilizerCircuit", "css_memory_circuit", "circuit_dem",
