@@ -28,6 +28,7 @@ _KINDS = (
     "spacetime",
     "window",
     "detector",
+    "ensemble",
 )
 
 #: decoder-specific knobs forwarded from a wrapper kind's config to its
@@ -109,6 +110,11 @@ class DecoderConfig:
     #: detector only: flattened DEM file to build from (``build(None)``);
     #: alternatively pass ``build((A, priors[, observables]))``
     dem_path: str | None = None
+    #: ensemble only: member configs (dicts or DecoderConfig instances,
+    #: normalized to dicts so the whole thing JSON round-trips); the
+    #: built EnsembleDecoder picks the max-likelihood syndrome-
+    #: consistent candidate per shot
+    members: tuple = ()
 
     def __post_init__(self):
         if self.kind not in _KINDS:
@@ -118,6 +124,28 @@ class DecoderConfig:
             raise ValueError(
                 f"inner_kind '{self.inner_kind}' cannot itself be a wrapper "
                 "kind; pick a base decoder (bp, bposd, minsum, ...)")
+        if self.kind == "ensemble":
+            if not self.members:
+                raise ValueError("kind='ensemble' needs at least one member")
+            norm = []
+            for mcfg in self.members:
+                d = (dataclasses.asdict(mcfg)
+                     if isinstance(mcfg, DecoderConfig)
+                     else dict(mcfg))
+                if d.get("kind") in ("ensemble",):
+                    raise ValueError("ensembles cannot nest ensembles")
+                # a member's own (necessarily empty) members field would
+                # round-trip tuple -> JSON list; drop it for canonical form
+                if not d.pop("members", None) in (None, (), []):
+                    raise ValueError("ensembles cannot nest ensembles")
+                DecoderConfig.from_dict(d)  # validates member fields
+                norm.append(d)
+            object.__setattr__(self, "members", tuple(norm))
+        elif self.members:
+            raise ValueError("members is an ensemble-only field")
+        else:
+            # canonical empty form: JSON round-trips () as [], so pin ()
+            object.__setattr__(self, "members", ())
 
     def build(self, H):
         """Construct the decoder for parity-check matrix ``H``.
@@ -129,6 +157,14 @@ class DecoderConfig:
         import ldpcdecoders_tpu as lt
 
         k = self.kind
+        if k == "ensemble":
+            from .models.ensemble import EnsembleDecoder
+
+            built = [DecoderConfig.from_dict(d).build(H)
+                     for d in self.members]
+            H_arr = H if (hasattr(H, "todense") or (
+                hasattr(H, "ndim") and getattr(H, "ndim", 0) == 2)) else None
+            return EnsembleDecoder(built, H=H_arr)
         if k in ("spacetime", "window", "detector"):
             knobs = {f: getattr(self, f) for f in _INNER_KNOBS}
             if k == "spacetime":

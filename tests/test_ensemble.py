@@ -145,3 +145,29 @@ def test_ensemble_improves_on_degenerate_dem():
     pred = (e.astype(np.uint8) @ O.T) & 1
     ens_fails = int((pred != obs).any(axis=1).sum())
     assert ens_fails <= min(fails), (ens_fails, fails)
+
+
+def test_ensemble_decoder_config_roundtrip():
+    """kind='ensemble' JSON round-trips (member configs stored as
+    canonical dicts) and builds a working EnsembleDecoder."""
+    H = lt.toric_code_x(3)
+    cfg = lt.DecoderConfig(kind="ensemble", per=0.06, max_iters=30, members=(
+        lt.DecoderConfig(kind="bposd", per=0.06, max_iters=30,
+                         inner="minsum", damping=0.4, fused=True),
+        {"kind": "bposd", "per": 0.06, "max_iters": 30, "fused": True},
+    ))
+    cfg2 = lt.DecoderConfig.from_json(cfg.to_json())
+    assert cfg2 == cfg
+    ens = cfg2.build(H)
+    assert len(ens.members) == 2
+    rng = np.random.default_rng(3)
+    x = (rng.random((32, H.shape[1])) < 0.06).astype(np.uint8)
+    syn = (x @ H.T) & 1
+    e, conv = ens.batch_decode(syn, seed=1)
+    assert (((e[conv].astype(np.uint8) @ H.T) & 1) == syn[conv]).all()
+    with pytest.raises(ValueError, match="at least one"):
+        lt.DecoderConfig(kind="ensemble", members=())
+    with pytest.raises(ValueError, match="nest"):
+        lt.DecoderConfig(kind="ensemble", members=(cfg,))
+    with pytest.raises(ValueError, match="ensemble-only"):
+        lt.DecoderConfig(kind="bp", members=({"kind": "bp"},))
