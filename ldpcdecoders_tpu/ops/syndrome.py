@@ -22,7 +22,11 @@ import numpy as np
 __all__ = ["syndrome_of", "syndrome_matches", "make_syndrome_fn"]
 
 
-_DENSE_SYNDROME_MAX_ELEMS = 4_000_000  # ~2000x2000; 16 MB f32 H
+# Dense-H cutoff for the MXU syndrome path.  Raised 4M -> 40M in round 4:
+# the bb144 circuit-level DEM (864 x 31,648 = 27M, 108 MB f32) pays ~1 ms
+# per check through the max_dc=294 padded gather but <0.3 ms through the
+# systolic array; row sums stay far inside f32's exact-integer range.
+_DENSE_SYNDROME_MAX_ELEMS = 40_000_000
 
 
 def make_syndrome_fn(graph):

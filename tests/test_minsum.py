@@ -110,3 +110,79 @@ def test_bposd_damped_minsum_inner():
     assert (((ef.astype(np.uint8) @ H.T) & 1) == syn).all()
     with pytest.raises(ValueError, match="min-sum knob"):
         lt.BeliefPropagationOSDDecoder(H, 0.05, 30, damping=0.3)
+
+
+def test_vectorized_check_update_bit_identical():
+    """High-degree graphs auto-select the argmin-based check update
+    (round 4: circuit-level DEMs reach max_dc ~ 300, where the unrolled
+    two-min sweep emits ~600 sequential ops); both formulations must be
+    bit-for-bit identical, including first-minimum tie-breaking."""
+    from ldpcdecoders_tpu.codes.graph import TannerGraph
+    from ldpcdecoders_tpu.models.minsum import make_minsum_decode_fn
+
+    rng = np.random.default_rng(7)
+    H = (rng.random((20, 160)) < 0.18).astype(np.uint8)
+    H[0] |= 1  # one very heavy check
+    H[:, H.sum(axis=0) == 0] = 1
+    g = TannerGraph.from_pcm(H)
+    assert g.max_dc > 16  # auto-selection would pick the vectorized form
+    syn = rng.integers(0, 2, (24, 20)).astype(np.uint8)
+    # ties are common with a quantized prior; exercise them deliberately
+    for damping in (0.0, 0.4):
+        fv = make_minsum_decode_fn(g, 0.03, 25, damping=damping,
+                                   vectorized_check=True)
+        fs = make_minsum_decode_fn(g, 0.03, 25, damping=damping,
+                                   vectorized_check=False)
+        ev, cv, iv, lv = fv(syn, None)
+        es, cs, is_, ls = fs(syn, None)
+        np.testing.assert_array_equal(np.asarray(ev), np.asarray(es))
+        np.testing.assert_array_equal(np.asarray(cv), np.asarray(cs))
+        np.testing.assert_array_equal(np.asarray(iv), np.asarray(is_))
+        np.testing.assert_array_equal(np.asarray(lv), np.asarray(ls))
+
+
+def test_check_every_semantics():
+    """check_every=k: convergence claims unchanged, iters rounded up to
+    the check grid, outputs still syndrome-consistent on converged lanes."""
+    H = lt.parity_check_matrix(240, 6, 3, rng=5)
+    rng = np.random.default_rng(1)
+    errs = rng.random((64, 240)) < 0.02
+    syn = (errs @ H.T % 2).astype(np.uint8)
+    d1 = lt.MinSumDecoder(H, 0.02, 40, damping=0.2)
+    d4 = lt.MinSumDecoder(H, 0.02, 40, damping=0.2, check_every=4)
+    e1, c1 = d1.batch_decode(syn)
+    e4, c4 = d4.batch_decode(syn)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c4))
+    ok = (e4[c4].astype(np.uint8) @ H.T % 2 == syn[c4]).all()
+    assert ok
+    with pytest.raises(ValueError, match="check_every"):
+        lt.MinSumDecoder(H, 0.02, 10, check_every=0)
+
+
+def test_lane_damping_matches_scalar():
+    """lane_damping: a [B] gamma vector decodes each lane exactly as the
+    scalar-damped decoder would — the device-ensemble primitive."""
+    from ldpcdecoders_tpu.codes.graph import TannerGraph
+    from ldpcdecoders_tpu.models.minsum import make_minsum_decode_fn
+
+    H = lt.toric_code_x(3)
+    g = TannerGraph.from_pcm(H)
+    rng = np.random.default_rng(3)
+    errs = rng.random((12, H.shape[1])) < 0.03
+    syn = (errs @ H.T % 2).astype(np.uint8)
+    gv = np.array([0.0, 0.3, 0.5] * 4, np.float32)
+    fl = make_minsum_decode_fn(g, 0.03, 30, lane_damping=True)
+    em, cm, im, lm = fl(syn, None, gv)
+    for gval in (0.0, 0.3, 0.5):
+        fs = make_minsum_decode_fn(g, 0.03, 30, damping=float(gval))
+        es, cs, *_ = fs(syn, None)
+        sel = gv == gval
+        np.testing.assert_array_equal(np.asarray(em)[sel],
+                                      np.asarray(es)[sel])
+        np.testing.assert_array_equal(np.asarray(cm)[sel],
+                                      np.asarray(cs)[sel])
+    with pytest.raises(ValueError, match="gamma"):
+        fl(syn, None)
+    with pytest.raises(ValueError, match="lane_damping"):
+        make_minsum_decode_fn(g, 0.03, 10, lane_damping=True,
+                              damping=0.3)
