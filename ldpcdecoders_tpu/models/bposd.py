@@ -371,6 +371,7 @@ class BeliefPropagationOSDDecoder(Decoder):
         osd_method: str = "exhaustive",
         osd_impl: str = "device",
         damping: float = 0.0,
+        osd_triples: int = 0,
     ):
         if osd_scope not in ("all", "failed"):
             raise ValueError("osd_scope must be 'all' or 'failed'")
@@ -425,6 +426,13 @@ class BeliefPropagationOSDDecoder(Decoder):
         self.osd_method = osd_method
         self.osd_impl = osd_impl
         self.damping = float(damping)
+        if osd_triples and not (osd_impl == "host"
+                                and osd_method == "combination_sweep"):
+            raise ValueError(
+                "osd_triples (order-3 combination sweep) is a host "
+                "combination_sweep extension: set osd_impl='host', "
+                "osd_method='combination_sweep'")
+        self.osd_triples = int(osd_triples)
         self._Hcols = None
         if osd_impl == "host":
             # the threaded C++ column-reduction eliminator
@@ -498,7 +506,8 @@ class BeliefPropagationOSDDecoder(Decoder):
         if self.osd_method == "combination_sweep":
             out, _ = gf2_osd_cs_host(self._Hcols, self.m, self.osd_order,
                                      order, bp_np.astype(np.uint8),
-                                     syn_np.astype(np.uint8))
+                                     syn_np.astype(np.uint8),
+                                     lam3=self.osd_triples)
         else:
             out, _ = gf2_osd0_host(self._Hcols, self.m, order,
                                    bp_np.astype(np.uint8),

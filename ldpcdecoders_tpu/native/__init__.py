@@ -126,6 +126,7 @@ def _load():
                 ctypes.c_int64,
                 ctypes.c_int64,
                 ctypes.c_int64,
+                ctypes.c_int64,
                 ctypes.c_void_p,
                 ctypes.c_void_p,
                 ctypes.c_void_p,
@@ -311,13 +312,16 @@ def gf2_osd0_host(Hcols: np.ndarray, m: int, order: np.ndarray,
 
 
 def gf2_osd_cs_host(Hcols: np.ndarray, m: int, lam: int, order: np.ndarray,
-                    bp: np.ndarray, syn: np.ndarray):
+                    bp: np.ndarray, syn: np.ndarray, lam3: int = 0):
     """Threaded host OSD-CS (combination sweep; native/gf2_osd.cpp).
 
     Same conventions as :func:`gf2_osd0_host` plus ``lam``, the pair-
-    sweep depth over the most-reliable non-pivot columns.  Golden-tested
-    against ops/gf2.py::osd_cs_sweep.  Returns ``(out, consistent)`` or
-    ``None`` if the native library is unavailable.
+    sweep depth over the most-reliable non-pivot columns, and ``lam3``,
+    the TRIPLE-sweep depth (order-3 combinations; 0 disables — the
+    device sweep's semantics, against which lam3=0 is golden-tested;
+    triples are a host-only extension, tested against a NumPy oracle).
+    Returns ``(out, consistent)`` or ``None`` if the native library is
+    unavailable.
     """
     lib = _load()
     if lib is None:
@@ -337,11 +341,11 @@ def gf2_osd_cs_host(Hcols: np.ndarray, m: int, lam: int, order: np.ndarray,
     if mw != (m + 63) // 64:
         raise ValueError(
             f"m={m} inconsistent with packed-column width {mw} words")
-    if lam < 0:
-        raise ValueError("lam must be >= 0")
+    if lam < 0 or lam3 < 0:
+        raise ValueError("lam and lam3 must be >= 0")
     out = np.empty((B, n), np.uint8)
     consistent = np.empty(B, np.uint8)
-    lib.gf2_osd_cs_host(Hcols.ctypes.data, n, m, mw, int(lam),
+    lib.gf2_osd_cs_host(Hcols.ctypes.data, n, m, mw, int(lam), int(lam3),
                         order.ctypes.data, bp.ctypes.data, syn.ctypes.data,
                         B, out.ctypes.data, consistent.ctypes.data)
     return out, consistent.astype(bool)

@@ -281,3 +281,113 @@ def test_osd_impl_host_cs_actually_dispatches_host(monkeypatch):
     syn[1, 3] = 1
     dec.batch_decode(syn, seed=1)
     assert calls, "native OSD-CS was never invoked"
+
+
+def _rref_oracle(H, order, bp, syn, lam, lam3):
+    """Pure-Python reference for the native OSD-CS lane (int bitmasks):
+    full-RREF column elimination + base/single/pair/triple sweep with
+    the native precedence and lexicographic tie rules."""
+    m, n = H.shape
+    colbits = [int.from_bytes(
+        np.packbits(H[:, c], bitorder="little").tobytes(), "little")
+        for c in range(n)]
+    rhs = int.from_bytes(
+        np.packbits(syn, bitorder="little").tobytes(), "little")
+    for c in range(n):
+        if bp[c]:
+            rhs ^= colbits[c]
+    basis = []  # (red, combo, prow, pivcol)
+    acc = 0
+    np_combos, np_cols = [], []
+    for col in order:
+        cand, cw = colbits[col], 0
+        for bi, (red, combo, prow, _) in enumerate(basis):
+            if (cand >> prow) & 1:
+                cand ^= red
+                cw ^= combo
+        if cand:
+            rank = len(basis)
+            cw ^= 1 << rank
+            prow = (cand & -cand).bit_length() - 1
+            # keep full RREF: clear prow from existing basis columns
+            basis = [(r ^ (cand if (r >> prow) & 1 else 0),
+                      c ^ (cw if (r >> prow) & 1 else 0), p, pc)
+                     for (r, c, p, pc) in basis]
+            if bp[col]:
+                acc ^= 1 << rank
+            if (rhs >> prow) & 1:
+                rhs ^= cand
+                acc ^= cw
+            basis.append((cand, cw, prow, col))
+        else:
+            np_combos.append(cw)
+            np_cols.append(col)
+    out = np.array(bp, np.uint8).copy()
+    for b, (_, _, _, pc) in enumerate(basis):
+        out[pc] = (acc >> b) & 1
+
+    def weight(extra_flips):
+        o = out.copy()
+        for k in extra_flips:
+            o[np_cols[k]] ^= 1
+            for b in range(len(basis)):
+                o[basis[b][3]] ^= (np_combos[k] >> b) & 1
+        return int(o.sum()), o
+
+    w0, _ = weight(())
+    best1, j1 = 1 << 40, None
+    for k in range(len(np_cols)):
+        w, _ = weight((k,))
+        if w - w0 < best1:
+            best1, j1 = w - w0, (k,)
+    L = min(lam, len(np_cols))
+    best2, j2 = 1 << 40, None
+    for i in range(L):
+        for j in range(i + 1, L):
+            w, _ = weight((i, j))
+            if w - w0 < best2:
+                best2, j2 = w - w0, (i, j)
+    L3 = min(lam3, len(np_cols))
+    best3, j3 = 1 << 40, None
+    for i in range(L3):
+        for j in range(i + 1, L3):
+            for k in range(j + 1, L3):
+                w, _ = weight((i, j, k))
+                if w - w0 < best3:
+                    best3, j3 = w - w0, (i, j, k)
+    if best3 < 0 and best3 < best2 and best3 < best1:
+        return weight(j3)[1], rhs == 0
+    if best2 < 0 and best2 < best1:
+        return weight(j2)[1], rhs == 0
+    if best1 < 0:
+        return weight(j1)[1], rhs == 0
+    return out, rhs == 0
+
+
+def test_gf2_osd_cs_triples_matches_oracle():
+    """The order-3 (lam3) host sweep — a superset of the device pair
+    sweep — must match a brute-force pure-Python full-RREF oracle
+    exactly, including precedence and lexicographic tie-breaking."""
+    from ldpcdecoders_tpu.native import (gf2_osd_cs_host, gf2_pack_cols,
+                                         native_available)
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(42)
+    m, n, B = 22, 56, 24
+    H = (rng.random((m, n)) < 0.2).astype(np.uint8)
+    H[:, H.sum(axis=0) == 0] = 1
+    Hcols = gf2_pack_cols(H)
+    x = (rng.random((B, n)) < 0.1).astype(np.uint8)
+    syn = (x @ H.T % 2).astype(np.uint8)
+    bp = (rng.random((B, n)) < 0.08).astype(np.uint8)
+    rel = rng.random((B, n)).astype(np.float32)
+    order = np.argsort(-rel, axis=1, kind="stable").astype(np.int32)
+    for lam, lam3 in ((10, 8), (14, 0), (0, 6)):
+        out, cons = gf2_osd_cs_host(Hcols, m, lam, order, bp, syn,
+                                    lam3=lam3)
+        for b in range(B):
+            exp, c = _rref_oracle(H, order[b], bp[b], syn[b], lam, lam3)
+            np.testing.assert_array_equal(out[b], exp,
+                                          err_msg=f"lane {b} lam={lam}")
+            assert bool(cons[b]) == c
