@@ -62,6 +62,7 @@ from .models import (
     SlidingWindowDecoder,
     DetectorGraphDecoder,
     EnsembleDecoder,
+    StagedDemDecoder,
     load_dem,
     decode_soft,
 )

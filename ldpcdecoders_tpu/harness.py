@@ -1225,6 +1225,51 @@ def dem_logical_sweep(
     "device_sampled"}``.
     """
     from .models.detector import DetectorGraphDecoder, load_dem
+    from .models.staged import StagedDemDecoder
+
+    if isinstance(dem, StagedDemDecoder) or decoder == "staged":
+        # the staged production path (stage0 + deep ensemble + native
+        # OSD) carries its own pipelined device-resident evaluator
+        if isinstance(dem, StagedDemDecoder):
+            sdec = dem
+        else:
+            if isinstance(dem, tuple):
+                A, priors, O = dem
+            else:
+                A, priors, O = load_dem(dem)
+            knobs.setdefault("stage0_iters", min(max_iters, 96))
+            knobs.setdefault("deep_iters", max_iters)
+            sdec = StagedDemDecoder(A, priors, observables=O, **knobs)
+        if circuit is not None:
+            # circuit-sampled ground truth: host sampling, staged decode
+            from .codes.circuit import sample_circuit
+
+            det, obs = sample_circuit(circuit, shots, seed=seed)
+            t0 = time.perf_counter()
+            fails = convd = done = 0
+            while done < shots:
+                d = det[done: done + batch]
+                o = obs[done: done + batch]
+                pred, conv = sdec.predict_observables(d, seed=seed + done)
+                fails += int((pred != o).any(axis=1).sum())
+                convd += int(np.asarray(conv).sum())
+                done += len(d)
+            dt = time.perf_counter() - t0
+            lo, hi = wilson_interval(fails, done)
+            out = {"shots": done, "fails": fails,
+                   "logical_rate": fails / done,
+                   "logical_ci95": [lo, hi], "converged": convd / done,
+                   "throughput_shots_per_s": done / dt if dt else 0.0,
+                   "device_sampled": False}
+        else:
+            out = sdec.run_eval(shots, batch=batch, seed=seed,
+                                pipeline=pipeline,
+                                max_seconds=max_seconds)
+        if rounds and out.get("shots"):
+            out["rounds"] = int(rounds)
+            out["per_round_rate"] = 1.0 - (
+                1.0 - out["logical_rate"]) ** (1.0 / rounds)
+        return out
 
     if isinstance(dem, DetectorGraphDecoder):
         dec = dem

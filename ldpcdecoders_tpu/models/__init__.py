@@ -16,6 +16,7 @@ from .spacetime import SpaceTimeDecoder
 from .window import SlidingWindowDecoder
 from .detector import DetectorGraphDecoder, load_dem
 from .ensemble import EnsembleDecoder
+from .staged import StagedDemDecoder
 
 __all__ = [
     "Decoder",
@@ -39,6 +40,7 @@ __all__ = [
     "SlidingWindowDecoder",
     "DetectorGraphDecoder",
     "EnsembleDecoder",
+    "StagedDemDecoder",
     "load_dem",
     "decode_soft",
 ]

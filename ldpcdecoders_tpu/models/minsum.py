@@ -232,8 +232,16 @@ def make_minsum_decode_fn(
         B = syndromes.shape[0]
         syn_f = syndromes.astype(jnp.float32)
         syn_flip = syndromes.astype(bool)
-        gamma_b = (jnp.asarray(gamma, dtype).reshape(B, 1, 1)
-                   if lane_damping else None)
+        gamma_b = None
+        if lane_damping:
+            # [B] = one damping factor per lane; [B, n] = per-variable
+            # "memory strengths" (disordered-memory BP a la Relay-BP,
+            # arXiv:2506.01779: randomized, possibly NEGATIVE, per-
+            # variable factors break trapping-set symmetries that any
+            # uniform gamma preserves)
+            gamma_b = jnp.asarray(gamma, dtype)
+            gamma_b = (gamma_b.reshape(B, 1, 1) if gamma_b.ndim == 1
+                       else gamma_b.reshape(B, 1, n))
 
         # L0 may be a scalar, [n], or per-lane [B, n] (mixed channels /
         # per-shot soft information); normalize to [B, n] once

@@ -1,0 +1,555 @@
+"""Staged circuit-level decoding: the production path for wide DEMs.
+
+Round 3's flagship accuracy config (damped min-sum 1000 + host OSD-CS,
+``osd_scope="failed"``) measured 17-30 shots/s on the bb144 circuit
+DEM: every batch paid the full deep iteration count for its handful of
+never-converging lanes (the ``while_loop`` runs until ALL lanes exit),
+the evaluation loop fell back to an unpipelined host path, and each
+batch fetched ``[B, N]`` float soft outputs over the device tunnel.
+This module restructures the SAME decoding math around where the work
+actually is:
+
+  * **Stage 0** — damped min-sum on the full batch at a modest
+    iteration cap.  Per-lane freezing makes this exact: a lane that
+    converges at iteration t produces bit-identical output whether
+    ``max_iters`` is 100 or 10,000, so capping stage 0 loses nothing
+    on the ~99% of lanes that converge early.
+  * **Stage 1 (deep ensemble)** — lanes still unconverged are
+    compacted into a small bucket, tiled K ways with the ensemble's
+    damping factors (``lane_damping`` — one compiled program, members
+    are ordinary batch lanes), and decoded DEEP.  The per-shot winner
+    is the syndrome-consistent member whose correction has maximum
+    likelihood (min sum of log((1-p)/p) over flipped mechanisms),
+    selected on device.  This is VERDICT r3 item 3 (the device-fused
+    ensemble) placed where it pays: only stragglers ever see it.
+  * **Stage 2 (host OSD)** — shots no member solved go to the native
+    full-RREF OSD-CS eliminator (native/gf2_osd.cpp), per member, with
+    the same ML pick.  At production noise rates this is <<1% of shots.
+
+Decoding semantics: with ``gammas=(g,)`` the output equals the
+single-decoder ``MinSumDecoder(damping=g, max_iters=deep_iters)`` +
+host OSD-CS pipeline of round 3 on every lane (tested); with more
+members it is strictly stronger (measured 2.4x fewer bb144 failures in
+the round-3 ladder).
+
+Reference tie: this is the quantum-scale descendant of the reference's
+BP+OSD promise — syndrome-consistent decoding that actually corrects
+(/root/reference/src/decoders/belief_propagation_osd.jl:63-209) —
+rebuilt as a TPU pipeline instead of a per-syndrome loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..codes.graph import TannerGraph
+from .base import Decoder
+from .priors import next_pow2
+
+__all__ = ["StagedDemDecoder"]
+
+
+class StagedDemDecoder(Decoder):
+    """Staged damped-min-sum ensemble + native OSD for detector models.
+
+    Args:
+      A: ``[D, N]`` detector matrix (dense or scipy.sparse).
+      priors: ``[N]`` per-mechanism probabilities in (0, 1).
+      observables: optional ``[k, N]`` observable matrix (required by
+        :meth:`predict_observables`).
+      gammas: ensemble damping factors; ``gammas[0]`` also drives
+        stage 0.  One entry = exact round-3 single-decoder semantics.
+      stage0_iters: full-batch iteration cap (the throughput knob; the
+        99%-case cost per shot).
+      deep_iters: straggler-bucket iteration cap (the accuracy knob).
+      alpha: min-sum normalization (1.0 measured best on circuit DEMs).
+      lam / lam3: host OSD-CS pair / triple sweep depths.
+      dtype: stage-0 message dtype (bfloat16 measured 1.6x on bb144,
+        LER-equivalence checked in benchmarks).
+      deep_dtype: stage-1 message dtype (defaults to float32).
+      check_every: syndrome-test cadence (see models/minsum.py).
+      min_bucket: smallest compiled straggler-bucket width.
+    """
+
+    def __init__(self, A, priors, *, observables=None, gammas=(0.4,),
+                 stage0_iters: int = 100, deep_iters: int = 1000,
+                 alpha: float = 1.0, lam: int = 40, lam3: int = 0,
+                 dtype=None, deep_dtype=None, check_every: int = 8,
+                 min_bucket: int = 32):
+        import jax.numpy as jnp
+        import scipy.sparse as sp
+
+        A = sp.csr_matrix(A).astype(np.uint8)
+        self.D, self.N = A.shape
+        self.m, self.n = self.D, self.N
+        priors = np.asarray(priors, np.float64)
+        if priors.shape != (self.N,):
+            raise ValueError(f"priors must be [{self.N}], got {priors.shape}")
+        if np.any(priors <= 0.0) or np.any(priors >= 1.0):
+            raise ValueError("mechanism priors must lie strictly in (0, 1)")
+        if not gammas:
+            raise ValueError("gammas needs at least one damping factor")
+        self._prior = priors
+        self.O = (None if observables is None
+                  else np.asarray(observables, np.uint8) % 2)
+        if self.O is not None and self.O.shape[1] != self.N:
+            raise ValueError(
+                f"observables must be [k, {self.N}], got {self.O.shape}")
+        # a member is either a scalar damping factor or a (lo, hi) pair:
+        # the pair draws a per-mechanism "memory strength" vector
+        # U[lo, hi) (disordered-memory BP, Relay-BP arXiv:2506.01779 —
+        # randomized, possibly negative, per-variable damping breaks the
+        # trapping-set symmetries every uniform gamma preserves).  Each
+        # pair member gets its own deterministic draw (seeded by index).
+        self.gammas = tuple(
+            (float(g[0]), float(g[1])) if isinstance(g, (tuple, list))
+            else float(g) for g in gammas)
+        self.K = len(self.gammas)
+        rows = np.empty((self.K, self.N), np.float32)
+        self._has_dmem = False
+        for k, g in enumerate(self.gammas):
+            if isinstance(g, tuple):
+                lo, hi = g
+                if not (-1.0 < lo <= hi < 1.0):
+                    raise ValueError(
+                        f"dmem range must satisfy -1 < lo <= hi < 1, got {g}")
+                rows[k] = np.random.default_rng(
+                    0xD3E + k).uniform(lo, hi, self.N).astype(np.float32)
+                self._has_dmem = True
+            else:
+                if not -1.0 < g < 1.0:
+                    raise ValueError(f"damping must be in (-1, 1), got {g}")
+                rows[k] = g
+        self._gamma_rows = rows
+        self.stage0_iters = int(stage0_iters)
+        self.deep_iters = int(deep_iters)
+        self.lam, self.lam3 = int(lam), int(lam3)
+        self.min_bucket = int(min_bucket)
+        self.max_iters = self.stage0_iters + self.deep_iters  # contract-ish
+
+        Ad = np.asarray(A.todense())
+        self.A = A
+        self.graph = TannerGraph.from_pcm(Ad)
+        self._llr0 = np.log((1.0 - priors) / priors).astype(np.float32)
+
+        from ..native import gf2_pack_cols, native_available
+
+        if not native_available():
+            raise RuntimeError(
+                "StagedDemDecoder needs the native host OSD (g++); "
+                "build failed or unavailable")
+        self._Hcols = gf2_pack_cols(Ad)
+
+        import jax
+
+        from .minsum import make_minsum_decode_fn
+
+        dtype = jnp.float32 if dtype is None else dtype
+        deep_dtype = jnp.float32 if deep_dtype is None else deep_dtype
+        self.dtype, self.deep_dtype = dtype, deep_dtype
+        g0 = self.gammas[0]
+        if isinstance(g0, tuple):  # dmem member: a scalar proxy for stage 0
+            g0 = float(np.clip((g0[0] + g0[1]) / 2, 0.0, 0.9))
+        self.stage0_gamma = max(0.0, g0)
+        self._stage0_fn = jax.jit(make_minsum_decode_fn(
+            self.graph, float(priors.mean()), self.stage0_iters,
+            alpha=alpha, dtype=dtype, damping=self.stage0_gamma,
+            check_every=check_every))
+        self._deep_raw = make_minsum_decode_fn(
+            self.graph, float(priors.mean()), self.deep_iters,
+            alpha=alpha, dtype=deep_dtype, lane_damping=True,
+            check_every=check_every)
+        self._jnp = jnp
+        self._jax = jax
+        self._deep_cache: dict[int, object] = {}
+        self._gather_cache: dict[tuple, object] = {}
+        self._L0_default = jnp.asarray(self._llr0)
+
+    # -- jitted programs ---------------------------------------------------
+
+    def _deep_step(self, Bb: int):
+        """One compiled program: K-member deep ensemble on a ``[Bb, D]``
+        bucket with on-device syndrome-consistent ML pick."""
+        if Bb in self._deep_cache:
+            return self._deep_cache[Bb]
+        jax, jnp = self._jax, self._jnp
+        K = self.K
+        if self._has_dmem:
+            # per-variable memory strengths: member k's row, per lane
+            gam_t = jnp.repeat(jnp.asarray(self._gamma_rows), Bb, axis=0)
+        else:
+            gam_t = jnp.repeat(
+                jnp.asarray(self._gamma_rows[:, 0]), Bb)
+
+        def deep(det, L0, llr0):
+            syn_t = jnp.tile(det, (K, 1))
+            err, conv, iters, llrs = self._deep_raw(syn_t, L0, gam_t)
+            score = jnp.dot(err.astype(jnp.float32), llr0,
+                            preferred_element_type=jnp.float32)
+            score = score.reshape(K, Bb)
+            conv2 = conv.reshape(K, Bb)
+            pick = jnp.argmin(jnp.where(conv2, score, jnp.inf), axis=0)
+            solved = jnp.any(conv2, axis=0)
+            err3 = err.reshape(K, Bb, self.N)
+            err_pick = jnp.take_along_axis(
+                err3, pick[None, :, None], axis=0)[0]
+            it_pick = jnp.take_along_axis(
+                iters.reshape(K, Bb), pick[None, :], axis=0)[0]
+            return (err_pick.astype(jnp.int8), solved, it_pick,
+                    err3.astype(jnp.int8), llrs.reshape(K, Bb, self.N))
+
+        fn = jax.jit(deep)
+        self._deep_cache[Bb] = fn
+        return fn
+
+    def _gather_failed(self, Bb: int, nf: int):
+        """Fetch-minimizing gather: the host OSD needs only the failed
+        lanes' hard decisions and reliability ORDER (i32), not the
+        ``[K, Bb, N]`` float soft outputs.  The ordering rule replicates
+        models/bposd.py::_host_osd0 (rel = max(exp(llr), 1-exp(llr)),
+        stable descending)."""
+        key = (Bb, nf)
+        if key in self._gather_cache:
+            return self._gather_cache[key]
+        jax, jnp = self._jax, self._jnp
+
+        def gather(err3, llrs3, idx):
+            bp = jnp.take(err3, idx, axis=1)          # [K, nf, N]
+            llr = jnp.take(llrs3, idx, axis=1).astype(jnp.float32)
+            probs = jnp.exp(llr)
+            rel = jnp.maximum(probs, 1.0 - probs)
+            order = jnp.argsort(-rel, axis=-1, stable=True)
+            return bp.astype(jnp.uint8), order.astype(jnp.int32)
+
+        fn = jax.jit(gather)
+        self._gather_cache[key] = fn
+        return fn
+
+    # -- host OSD ----------------------------------------------------------
+
+    def _host_osd_pick(self, syn_np, bp_np, order_np, llr0_np):
+        """Native OSD-CS per member on ``[K, nf, ...]`` lanes, then the
+        same ML pick: min prior-weighted correction among syndrome-
+        consistent candidates (falls back to the overall min if the
+        syndrome lies outside the column span)."""
+        from ..native import gf2_osd_cs_host
+
+        K, nf, _ = bp_np.shape
+        outs = np.empty((K, nf, self.N), np.uint8)
+        cons = np.empty((K, nf), bool)
+        for k in range(K):
+            o, c = gf2_osd_cs_host(self._Hcols, self.D, self.lam,
+                                   order_np[k], bp_np[k], syn_np,
+                                   lam3=self.lam3)
+            outs[k], cons[k] = o, c
+        score = outs.astype(np.float32) @ llr0_np
+        score[~cons] = np.inf
+        pick = np.argmin(score, axis=0)
+        all_bad = ~cons.any(axis=0)
+        if all_bad.any():  # unreachable syndrome: keep member 0's output
+            pick[all_bad] = 0
+        return outs[pick, np.arange(nf)], cons.any(axis=0)
+
+    # -- Decoder contract ----------------------------------------------------
+
+    def _decode_batch(self, syndromes, seed: int = 0, per=None):
+        jnp = self._jnp
+        syn = np.asarray(syndromes, np.uint8)
+        B = syn.shape[0]
+        if per is None:
+            L0 = self._L0_default
+            llr0_np = self._llr0
+        else:
+            p = np.broadcast_to(np.asarray(per, np.float64), (self.N,))
+            llr0_np = np.log((1.0 - p) / p).astype(np.float32)
+            L0 = jnp.asarray(llr0_np)
+        llr0_d = jnp.asarray(llr0_np)
+
+        err0, conv0, it0, llrs0 = self._stage0_fn(jnp.asarray(syn), L0)
+        conv0_np = np.asarray(conv0)
+        need = np.flatnonzero(~conv0_np)
+        out = np.asarray(err0).astype(np.int8)
+        iters = np.asarray(it0)
+        solved = conv0_np.copy()
+        if need.size == 0:
+            return out, solved, iters, {}
+
+        Bb = max(self.min_bucket, next_pow2(need.size))
+        idx = np.concatenate([need, np.repeat(need[:1], Bb - need.size)])
+        det_b = jnp.asarray(syn[idx])
+        err_pick, deep_solved, it_pick, err3, llrs3 = self._deep_step(Bb)(
+            det_b, L0, llr0_d)
+        deep_solved_np = np.asarray(deep_solved)[: need.size]
+        out[need] = np.asarray(err_pick)[: need.size]
+        iters = iters.copy()
+        iters[need] = self.stage0_iters + np.asarray(it_pick)[: need.size]
+        solved[need] = deep_solved_np
+
+        fail = need[~deep_solved_np]
+        if fail.size:
+            # positions of the failed lanes inside the bucket
+            pos = np.flatnonzero(~deep_solved_np)
+            nf = next_pow2(pos.size)
+            posp = np.concatenate([pos, np.repeat(pos[:1], nf - pos.size)])
+            bp_d, order_d = self._gather_failed(Bb, nf)(
+                err3, llrs3, jnp.asarray(posp))
+            bp_np = np.asarray(bp_d)[:, : pos.size].astype(np.uint8)
+            order_np = np.asarray(order_d)[:, : pos.size]
+            picked, _ = self._host_osd_pick(
+                syn[fail], bp_np, order_np, llr0_np)
+            out[fail] = picked.astype(np.int8)
+        # `solved` = some stage produced a syndrome-consistent estimate
+        # WITHOUT OSD (BP-converged); OSD output is consistent whenever
+        # the syndrome is in span — the bposd convention.
+        return out, solved, iters, {}
+
+    def predict_observables(self, detectors, *, seed: int = 0):
+        """Decode and project onto the logical observables."""
+        if self.O is None:
+            raise ValueError("no observables matrix was provided")
+        x, conv = self.batch_decode(detectors, seed=seed)
+        flips = (x.astype(np.uint8) @ self.O.T) & 1
+        return flips, conv
+
+    # -- pipelined device-resident evaluation --------------------------------
+
+    def _eval_step(self, b: int):
+        """Stage-0 evaluation batch as ONE device program: sample
+        mechanisms from the priors, build detector records on the MXU,
+        decode, and settle the verdict for every converged lane.  Only
+        counts, the convergence mask, the detector records, and the
+        true observable flips come back to host (≈1 MB per 2048 shots —
+        vs the ~160 MB/batch soft-output fetches of the round-3 loop)."""
+        key = ("eval", b)
+        if key in self._gather_cache:
+            return self._gather_cache[key]
+        jax, jnp = self._jax, self._jnp
+        AdT = jnp.asarray(
+            np.asarray(self.A.todense()).T.astype(np.float32))
+        OdT = jnp.asarray(self.O.T.astype(np.float32))
+        prior_d = jnp.asarray(self._prior, jnp.float32)
+
+        def step(noise_seed, L0):
+            x = jax.random.bernoulli(
+                jax.random.PRNGKey(noise_seed), prior_d, (b, self.N))
+            xf = x.astype(jnp.float32)
+            det = jnp.mod(xf @ AdT, 2.0).astype(jnp.uint8)
+            err, conv, iters, _ = self._stage0_fn(det, L0)
+            obs_t = jnp.mod(xf @ OdT, 2.0).astype(jnp.uint8)
+            obs_p = jnp.mod(err.astype(jnp.float32) @ OdT, 2.0).astype(
+                jnp.uint8)
+            fail = jnp.any(obs_p != obs_t, axis=1)
+            counts = jnp.stack([
+                jnp.sum(conv, dtype=jnp.int32),
+                jnp.sum(fail & conv, dtype=jnp.int32),
+                jnp.sum(jnp.where(conv, iters, 0), dtype=jnp.int32)])
+            return counts, conv, det, obs_t
+
+        fn = jax.jit(step)
+        self._gather_cache[key] = fn
+        return fn
+
+    def _deep_eval_step(self, Bb: int):
+        """Deep-ensemble bucket with on-device verdicts for solved lanes.
+        ``mask`` zeroes padded lanes out of the counts (the final bucket
+        of a sweep repeats its first lane to keep the shape static)."""
+        key = ("deep_eval", Bb)
+        if key in self._gather_cache:
+            return self._gather_cache[key]
+        jax, jnp = self._jax, self._jnp
+        OdT = jnp.asarray(self.O.T.astype(np.float32))
+        core = self._deep_step(Bb)
+
+        def step(det, obs_t, mask, L0, llr0):
+            err_pick, solved, _, err3, llrs3 = core(det, L0, llr0)
+            obs_p = jnp.mod(err_pick.astype(jnp.float32) @ OdT, 2.0).astype(
+                jnp.uint8)
+            fail = jnp.any(obs_p != obs_t, axis=1) & solved & mask
+            counts = jnp.stack([
+                jnp.sum(solved & mask, dtype=jnp.int32),
+                jnp.sum(fail, dtype=jnp.int32)])
+            return counts, solved, err3, llrs3
+
+        fn = jax.jit(step)
+        self._gather_cache[key] = fn
+        return fn
+
+    def run_eval(self, shots: int, *, batch: int = 2048, seed: int = 0,
+                 pipeline: int = 4, deep_bucket: int = 256,
+                 max_seconds: float | None = None, per=None) -> dict:
+        """DEM-sampled logical-error evaluation, fully pipelined.
+
+        Three concurrent streams: stage-0 batches stay ``pipeline`` deep
+        on device; stragglers pool across batches and dispatch as deep
+        ensemble buckets; shots no member solves run through the native
+        host OSD on a background thread, overlapped with device work.
+        ``shots`` rounds up to a whole number of batches.  Returns the
+        sweep-style stats dict plus a stage-by-stage profile (the
+        breakdown VERDICT r3 item 1 asked for).
+        """
+        import time
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ..cache import ensure_default_cache
+
+        ensure_default_cache()
+        jnp = self._jnp
+        if self.O is None:
+            raise ValueError("run_eval needs an observables matrix")
+        if per is None:
+            L0, llr0_np = self._L0_default, self._llr0
+        else:
+            p = np.broadcast_to(np.asarray(per, np.float64), (self.N,))
+            llr0_np = np.log((1.0 - p) / p).astype(np.float32)
+            L0 = jnp.asarray(llr0_np)
+        llr0_d = jnp.asarray(llr0_np)
+        step_fn = self._eval_step(batch)
+        deep_fn = self._deep_eval_step(deep_bucket)
+
+        n_batches = max(1, -(-shots // batch))
+        trials = fails = conv0 = it0_sum = 0
+        fails_s0 = fails_deep = fails_osd = 0
+        deep_shots = deep_solved = osd_shots = osd_consistent = 0
+        t_osd = deep_wall = 0.0
+        pool_det: list[np.ndarray] = []
+        pool_obs: list[np.ndarray] = []
+        pool_n = 0
+        pending: list = []  # ("s0", handles) | ("deep", handles, n_real, t)
+        osd_futs: list = []
+        executor = ThreadPoolExecutor(max_workers=1)
+        rng0 = np.random.default_rng(seed)
+        t0 = time.perf_counter()
+
+        def osd_job(syn_np, bp_np, order_np, obs_np):
+            t = time.perf_counter()
+            picked, cons = self._host_osd_pick(
+                syn_np, bp_np, order_np, llr0_np)
+            pred = (picked.astype(np.uint8) @ self.O.T) & 1
+            f = int((pred != obs_np).any(axis=1).sum())
+            return f, int(cons.sum()), syn_np.shape[0], \
+                time.perf_counter() - t
+
+        def dispatch_deep(force=False):
+            nonlocal pool_n
+            while pool_n >= deep_bucket or (force and pool_n):
+                det_all = np.concatenate(pool_det)
+                obs_all = np.concatenate(pool_obs)
+                take = min(deep_bucket, pool_n)
+                det_b, obs_b = det_all[:take], obs_all[:take]
+                pool_det.clear()
+                pool_obs.clear()
+                if take < det_all.shape[0]:
+                    pool_det.append(det_all[take:])
+                    pool_obs.append(obs_all[take:])
+                pool_n -= take
+                pad = deep_bucket - take
+                mask = np.ones(deep_bucket, bool)
+                if pad:
+                    mask[take:] = False
+                    det_b = np.concatenate(
+                        [det_b, np.repeat(det_b[:1], pad, axis=0)])
+                    obs_b = np.concatenate(
+                        [obs_b, np.repeat(obs_b[:1], pad, axis=0)])
+                handles = deep_fn(jnp.asarray(det_b), jnp.asarray(obs_b),
+                                  jnp.asarray(mask), L0, llr0_d)
+                pending.append(("deep", handles, det_b, obs_b, take,
+                                time.perf_counter()))
+
+        def drain_one():
+            nonlocal trials, fails, conv0, it0_sum, pool_n, deep_shots, \
+                deep_solved, deep_wall, fails_s0, fails_deep
+            item = pending.pop(0)
+            if item[0] == "s0":
+                counts, conv, det, obs_t = item[1]
+                c = np.asarray(counts)
+                conv_np = np.asarray(conv)
+                trials += conv_np.shape[0]
+                conv0 += int(c[0])
+                fails += int(c[1])
+                fails_s0 += int(c[1])
+                it0_sum += int(c[2])
+                miss = np.flatnonzero(~conv_np)
+                if miss.size:
+                    pool_det.append(np.asarray(det)[miss])
+                    pool_obs.append(np.asarray(obs_t)[miss])
+                    pool_n += miss.size
+                dispatch_deep()
+                return
+            _, handles, det_b, obs_b, take, t_disp = item
+            counts, solved, err3, llrs3 = handles
+            c = np.asarray(counts)
+            deep_wall += time.perf_counter() - t_disp
+            deep_shots += take
+            deep_solved += int(c[0])
+            fails += int(c[1])
+            fails_deep += int(c[1])
+            solved_np = np.asarray(solved)[:take]
+            unsolved = np.flatnonzero(~solved_np)
+            if unsolved.size:
+                nf = next_pow2(unsolved.size)
+                posp = np.concatenate(
+                    [unsolved, np.repeat(unsolved[:1], nf - unsolved.size)])
+                gf = self._gather_failed(deep_bucket, nf)
+                bp_d, order_d = gf(err3, llrs3, jnp.asarray(posp))
+                bp_np = np.asarray(bp_d)[:, :unsolved.size].astype(np.uint8)
+                order_np = np.asarray(order_d)[:, :unsolved.size]
+                osd_futs.append(executor.submit(
+                    osd_job, det_b[unsolved], bp_np, order_np,
+                    obs_b[unsolved]))
+
+        dispatched = 0
+        while dispatched < n_batches:
+            if max_seconds is not None and (
+                    time.perf_counter() - t0) >= max_seconds:
+                break
+            noise_seed = int(rng0.integers(1 << 31))
+            pending.append(("s0", step_fn(noise_seed, L0)))
+            dispatched += 1
+            while len(pending) > max(1, pipeline):
+                drain_one()
+        while pending:
+            drain_one()
+        dispatch_deep(force=True)
+        while pending:
+            drain_one()
+        for fut in osd_futs:
+            f, cns, n_real, dt_osd = fut.result()
+            fails += f
+            fails_osd += f
+            osd_shots += n_real
+            osd_consistent += cns
+            t_osd += dt_osd
+        executor.shutdown()
+        dt = time.perf_counter() - t0
+
+        from ..utils.metrics import wilson_interval
+
+        lo, hi = wilson_interval(fails, trials)
+        return {
+            "shots": trials,
+            "fails": fails,
+            "logical_rate": fails / trials if trials else 0.0,
+            "logical_ci95": [lo, hi],
+            "converged": conv0 / trials if trials else 0.0,
+            "throughput_shots_per_s": trials / dt if dt else 0.0,
+            "device_sampled": True,
+            "profile": {
+                "stage0_conv": conv0 / trials if trials else 0.0,
+                "fails_by_stage": {"stage0": fails_s0, "deep": fails_deep,
+                                   "osd": fails_osd},
+                "stage0_mean_iters": it0_sum / max(conv0, 1),
+                "deep_shots": deep_shots,
+                "deep_solved": deep_solved,
+                "osd_shots": osd_shots,
+                "osd_consistent": osd_consistent,
+                "wall_s": dt,
+                "deep_drain_wall_s": deep_wall,
+                "osd_thread_s": t_osd,
+                "gammas": list(self.gammas),
+                "stage0_iters": self.stage0_iters,
+                "deep_iters": self.deep_iters,
+                "deep_bucket": deep_bucket,
+                "lam": self.lam,
+                "lam3": self.lam3,
+            },
+        }
