@@ -63,6 +63,7 @@ from .models import (
     DetectorGraphDecoder,
     EnsembleDecoder,
     StagedDemDecoder,
+    WindowedDemDecoder,
     load_dem,
     decode_soft,
 )

@@ -17,6 +17,7 @@ from .window import SlidingWindowDecoder
 from .detector import DetectorGraphDecoder, load_dem
 from .ensemble import EnsembleDecoder
 from .staged import StagedDemDecoder
+from .demwindow import WindowedDemDecoder
 
 __all__ = [
     "Decoder",
@@ -41,6 +42,7 @@ __all__ = [
     "DetectorGraphDecoder",
     "EnsembleDecoder",
     "StagedDemDecoder",
+    "WindowedDemDecoder",
     "load_dem",
     "decode_soft",
 ]

@@ -121,6 +121,7 @@ class StagedDemDecoder(Decoder):
                     raise ValueError(f"damping must be in (-1, 1), got {g}")
                 rows[k] = g
         self._gamma_rows = rows
+        self._gamma_arg = rows if self._has_dmem else rows[:, 0].copy()
         self.stage0_iters = int(stage0_iters)
         self.deep_iters = int(deep_iters)
         self.lam, self.lam3 = int(lam), int(lam3)
@@ -174,14 +175,14 @@ class StagedDemDecoder(Decoder):
             return self._deep_cache[Bb]
         jax, jnp = self._jax, self._jnp
         K = self.K
-        if self._has_dmem:
-            # per-variable memory strengths: member k's row, per lane
-            gam_t = jnp.repeat(jnp.asarray(self._gamma_rows), Bb, axis=0)
-        else:
-            gam_t = jnp.repeat(
-                jnp.asarray(self._gamma_rows[:, 0]), Bb)
 
-        def deep(det, L0, llr0):
+        def deep(det, L0, llr0, gam_rows):
+            # gamma rows arrive as a runtime argument: a [K, N] constant
+            # would constant-fold through the repeat into a [K*Bb, N]
+            # HLO literal (~200 MB at bb144 scale — measured to overflow
+            # the remote-compile transport), and an argument also lets
+            # relay-style restarts reuse this program with fresh draws
+            gam_t = jnp.repeat(gam_rows, Bb, axis=0)
             syn_t = jnp.tile(det, (K, 1))
             err, conv, iters, llrs = self._deep_raw(syn_t, L0, gam_t)
             score = jnp.dot(err.astype(jnp.float32), llr0,
@@ -278,7 +279,7 @@ class StagedDemDecoder(Decoder):
         idx = np.concatenate([need, np.repeat(need[:1], Bb - need.size)])
         det_b = jnp.asarray(syn[idx])
         err_pick, deep_solved, it_pick, err3, llrs3 = self._deep_step(Bb)(
-            det_b, L0, llr0_d)
+            det_b, L0, llr0_d, jnp.asarray(self._gamma_arg))
         deep_solved_np = np.asarray(deep_solved)[: need.size]
         out[need] = np.asarray(err_pick)[: need.size]
         iters = iters.copy()
@@ -360,8 +361,8 @@ class StagedDemDecoder(Decoder):
         OdT = jnp.asarray(self.O.T.astype(np.float32))
         core = self._deep_step(Bb)
 
-        def step(det, obs_t, mask, L0, llr0):
-            err_pick, solved, _, err3, llrs3 = core(det, L0, llr0)
+        def step(det, obs_t, mask, L0, llr0, gam_rows):
+            err_pick, solved, _, err3, llrs3 = core(det, L0, llr0, gam_rows)
             obs_p = jnp.mod(err_pick.astype(jnp.float32) @ OdT, 2.0).astype(
                 jnp.uint8)
             fail = jnp.any(obs_p != obs_t, axis=1) & solved & mask
@@ -403,6 +404,7 @@ class StagedDemDecoder(Decoder):
             llr0_np = np.log((1.0 - p) / p).astype(np.float32)
             L0 = jnp.asarray(llr0_np)
         llr0_d = jnp.asarray(llr0_np)
+        gam_d = jnp.asarray(self._gamma_arg)
         step_fn = self._eval_step(batch)
         deep_fn = self._deep_eval_step(deep_bucket)
 
@@ -451,7 +453,7 @@ class StagedDemDecoder(Decoder):
                     obs_b = np.concatenate(
                         [obs_b, np.repeat(obs_b[:1], pad, axis=0)])
                 handles = deep_fn(jnp.asarray(det_b), jnp.asarray(obs_b),
-                                  jnp.asarray(mask), L0, llr0_d)
+                                  jnp.asarray(mask), L0, llr0_d, gam_d)
                 pending.append(("deep", handles, det_b, obs_b, take,
                                 time.perf_counter()))
 
