@@ -337,3 +337,47 @@ def test_cli_dem_roundtrip(tmp_path, capsys):
           "--max-iters", "20"])
     res = json.loads(capsys.readouterr().out)
     assert res["shots"] == 256
+
+
+@pytest.mark.slow
+def test_bb144_circuit_vs_dem_statistics():
+    """bb144-scale extractor guard (VERDICT r3 item 5): circuit-sampled
+    detector marginals, observable-flip marginals, and detector-pair
+    XOR rates must match the exact DEM closed forms (XORs of
+    independent Bernoullis).  Surface d3 already has the decoded
+    agreement check; this catches footprint bugs at the scale where
+    they would silently corrupt the flagship curve, without needing a
+    decoder in the loop."""
+    Hx, Hz, *_ = lt.named_bicycle_code("bb144")
+    c = css_memory_circuit(Hx, Hz, 6, p=0.003)
+    A, pr, O = circuit_dem(c)
+    Ad = np.asarray(A.todense())
+    D, N = Ad.shape
+    assert (D, N) == (864, 31648)
+    shots = 8192
+    det, obs = sample_circuit(c, shots, seed=3)
+
+    # detector marginals, z <= 4.5 per cell (Bonferroni across 864)
+    exact_d = (1 - np.prod(1 - 2 * pr[None, :] * Ad, axis=1)) / 2
+    emp_d = det.mean(axis=0)
+    sig = np.sqrt(np.maximum(exact_d * (1 - exact_d), 1e-9) / shots)
+    z = np.abs(emp_d - exact_d) / sig
+    assert z.max() < 4.5, f"detector marginal z={z.max():.1f}"
+
+    # observable-flip marginals
+    Od = np.asarray(O)
+    exact_o = (1 - np.prod(1 - 2 * pr[None, :] * Od, axis=1)) / 2
+    emp_o = obs.mean(axis=0)
+    sig_o = np.sqrt(np.maximum(exact_o * (1 - exact_o), 1e-9) / shots)
+    assert (np.abs(emp_o - exact_o) / sig_o).max() < 4.5
+
+    # pairwise detector XOR rates on 128 random pairs: catches footprint
+    # misalignments that single-detector marginals cannot see
+    rng = np.random.default_rng(7)
+    i = rng.integers(0, D, 128)
+    j = (i + rng.integers(1, D, 128)) % D
+    diff = Ad[i] ^ Ad[j]
+    exact_p = (1 - np.prod(1 - 2 * pr[None, :] * diff, axis=1)) / 2
+    emp_p = (det[:, i] ^ det[:, j]).mean(axis=0)
+    sig_p = np.sqrt(np.maximum(exact_p * (1 - exact_p), 1e-9) / shots)
+    assert (np.abs(emp_p - exact_p) / sig_p).max() < 4.5

@@ -131,3 +131,42 @@ def test_staged_validation_errors():
                           deep_iters=32, lam=8)
     with pytest.raises(ValueError, match="observables"):
         sd.predict_observables(np.zeros((2, A.shape[0]), np.uint8))
+
+
+def test_relay_legs_widen_coverage_and_stay_exact():
+    """Relay restarts (fresh disordered-memory draws on survivors) can
+    only add solved lanes, keep every output syndrome-consistent, and
+    the pipelined evaluator still matches the sync path exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    A, pr, O = _small_dem(seed=9)
+    N = A.shape[1]
+    base = dict(observables=O, gammas=(0.2, (0.0, 0.5)), stage0_iters=32,
+                deep_iters=96, lam=16, min_bucket=16)
+    rng = np.random.default_rng(4)
+    x = (rng.random((96, N)) < pr * 8).astype(np.uint8)
+    det = (x @ A.T % 2).astype(np.uint8)
+    d0 = StagedDemDecoder(A, pr, **base)
+    d2 = StagedDemDecoder(A, pr, relay_legs=2, **base)
+    o0, c0 = d0.batch_decode(det)
+    o2, c2 = d2.batch_decode(det)
+    assert c2.sum() >= c0.sum()
+    np.testing.assert_array_equal(
+        (o2.astype(np.uint8) @ A.T % 2).astype(np.uint8), det)
+    # evaluator bookkeeping with relay on
+    shots, batch = 512, 256
+    st = d2.run_eval(shots, batch=batch, deep_bucket=32, pipeline=2,
+                     seed=13)
+    rng0 = np.random.default_rng(13)
+    fails = 0
+    for _ in range(shots // batch):
+        ns = int(rng0.integers(1 << 31))
+        xs = np.asarray(jax.random.bernoulli(
+            jax.random.PRNGKey(ns), jnp.asarray(pr, jnp.float32),
+            (batch, N))).astype(np.uint8)
+        ds = (xs @ A.T % 2).astype(np.uint8)
+        ob = (xs @ O.T % 2).astype(np.uint8)
+        pred, _ = d2.predict_observables(ds)
+        fails += int((pred != ob).any(axis=1).sum())
+    assert st["fails"] == fails
