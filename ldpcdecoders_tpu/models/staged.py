@@ -256,9 +256,15 @@ class StagedDemDecoder(Decoder):
                 break
             if det_np is None:
                 det_np = np.asarray(det_b)
-            idxp = np.concatenate([un, np.repeat(un[:1], Bb - un.size)])
+            # right-size the leg to its survivors: legs typically carry
+            # <= Bb/4 lanes, and re-running the full bucket wastes K*Bb
+            # deep iterations on padding (leg programs compile once per
+            # distinct pow2 width and persist in the XLA cache)
+            Bb_leg = max(self.min_bucket, next_pow2(un.size))
+            idxp = np.concatenate(
+                [un, np.repeat(un[:1], Bb_leg - un.size)])
             rows = jnp.asarray(self._relay_rows(leg))
-            ep, sv, it2, err3, llrs3 = deep(
+            ep, sv, it2, err3, llrs3 = self._deep_step(Bb_leg)(
                 jnp.asarray(det_np[idxp]), L0, llr0_d, rows)
             sv_np = np.asarray(sv)[: un.size]
             newly = un[sv_np]
