@@ -29,6 +29,7 @@ _KINDS = (
     "window",
     "detector",
     "ensemble",
+    "staged",
 )
 
 #: decoder-specific knobs forwarded from a wrapper kind's config to its
@@ -115,6 +116,15 @@ class DecoderConfig:
     #: built EnsembleDecoder picks the max-likelihood syndrome-
     #: consistent candidate per shot
     members: tuple = ()
+    #: staged only (models/staged.py): ensemble damping members — each a
+    #: scalar or a [lo, hi] disordered-memory range; plus the stage-0
+    #: iteration cap, relay restarts, and OSD-CS depths (lam pairs /
+    #: lam3 triples).  max_iters is the deep (straggler) cap.
+    gammas: tuple = (0.4,)
+    stage0_iters: int = 96
+    relay_legs: int = 0
+    lam: int = 40
+    lam3: int = 0
 
     def __post_init__(self):
         if self.kind not in _KINDS:
@@ -192,6 +202,21 @@ class DecoderConfig:
                 A, priors, self.max_iters,
                 observables=rest[0] if rest else None,
                 decoder=self.inner_kind, **knobs)
+        if k == "staged":
+            from .models.staged import StagedDemDecoder
+
+            if not (isinstance(H, tuple) and len(H) in (2, 3)):
+                raise ValueError(
+                    "kind='staged' takes (A, priors) or (A, priors, "
+                    "observables) as the code argument")
+            A, priors, *rest = H
+            gammas = tuple(tuple(g) if isinstance(g, (list, tuple)) else g
+                           for g in self.gammas)
+            return StagedDemDecoder(
+                A, priors, observables=rest[0] if rest else None,
+                gammas=gammas, stage0_iters=self.stage0_iters,
+                deep_iters=self.max_iters, lam=self.lam, lam3=self.lam3,
+                relay_legs=self.relay_legs)
         if k == "qc_minsum":
             if not (isinstance(H, tuple) and len(H) == 2):
                 raise ValueError(

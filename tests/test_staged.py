@@ -170,3 +170,19 @@ def test_relay_legs_widen_coverage_and_stay_exact():
         pred, _ = d2.predict_observables(ds)
         fails += int((pred != ob).any(axis=1).sum())
     assert st["fails"] == fails
+
+
+def test_staged_config_round_trip_and_build():
+    """DecoderConfig kind='staged': gammas (scalars and [lo, hi] dmem
+    ranges) JSON round-trip; build takes (A, priors[, observables])."""
+    A, pr, O = _small_dem(seed=11)
+    cfg = lt.DecoderConfig(kind="staged", per=0.003, max_iters=96,
+                           gammas=(0.4, [-0.2, 0.6]), stage0_iters=32,
+                           relay_legs=1, lam=16, lam3=8)
+    cfg2 = lt.DecoderConfig.from_json(cfg.to_json())
+    assert cfg2.stage0_iters == 32 and cfg2.relay_legs == 1
+    dec = cfg2.build((A, pr, O))
+    assert isinstance(dec, StagedDemDecoder) and dec.K == 2
+    assert dec.lam == 16 and dec.lam3 == 8 and dec.deep_iters == 96
+    with pytest.raises(ValueError, match="staged"):
+        cfg2.build(A)  # needs the (A, priors) tuple
