@@ -129,6 +129,13 @@ class DecoderConfig:
     def __post_init__(self):
         if self.kind not in _KINDS:
             raise ValueError(f"unknown decoder kind '{self.kind}' (choose from {_KINDS})")
+        # canonical form: JSON round-trips lists; gammas holds scalars
+        # and/or (lo, hi) dmem ranges
+        object.__setattr__(
+            self, "gammas",
+            tuple(tuple(float(x) for x in g)
+                  if isinstance(g, (list, tuple)) else float(g)
+                  for g in self.gammas))
         if (self.kind in ("spacetime", "window", "detector")
                 and self.inner_kind in ("spacetime", "window", "detector")):
             raise ValueError(
@@ -148,7 +155,10 @@ class DecoderConfig:
                 # round-trip tuple -> JSON list; drop it for canonical form
                 if not d.pop("members", None) in (None, (), []):
                     raise ValueError("ensembles cannot nest ensembles")
-                DecoderConfig.from_dict(d)  # validates member fields
+                # validate AND canonicalize member fields (e.g. gammas
+                # lists -> tuples) so dict equality survives JSON
+                d = dataclasses.asdict(DecoderConfig.from_dict(d))
+                d.pop("members", None)
                 norm.append(d)
             object.__setattr__(self, "members", tuple(norm))
         elif self.members:
