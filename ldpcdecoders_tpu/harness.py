@@ -1239,6 +1239,9 @@ def dem_logical_sweep(
                 A, priors, O = load_dem(dem)
             knobs.setdefault("stage0_iters", min(max_iters, 96))
             knobs.setdefault("deep_iters", max_iters)
+            osd_order = knobs.pop("osd_order", 0)
+            if osd_order:  # CLI/bposd-style knob: the OSD-CS pair depth
+                knobs.setdefault("lam", osd_order)
             sdec = StagedDemDecoder(A, priors, observables=O, **knobs)
         if circuit is not None:
             # circuit-sampled ground truth: host sampling, staged decode
