@@ -9,7 +9,7 @@ left.  Prints the logical error rate with the stage-by-stage profile
 (where the shots went, where the failures came from).
 
 Measured on bb144 R=6 (TPU v5e, benchmarks/results/
-circuit_level_bb144_r4.json): per-round LER 5.1e-6 at p=0.001 — 76x
+circuit_level_bb144_r4.json): per-round LER 2.1e-5 at p=0.001 (163,840 shots) — 18x
 below the round-3 single-decoder curve on the same machinery lineage.
 
 Run:  python examples/staged_production_decoding.py [--bb144]
