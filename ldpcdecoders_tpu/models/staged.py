@@ -82,7 +82,8 @@ class StagedDemDecoder(Decoder):
                  stage0_iters: int = 100, deep_iters: int = 1000,
                  alpha: float = 1.0, lam: int = 40, lam3: int = 0,
                  dtype=None, deep_dtype=None, check_every: int = 8,
-                 min_bucket: int = 32, relay_legs: int = 0,
+                 min_bucket: int = 32, max_bucket: int = 256,
+                 relay_legs: int = 0,
                  relay_range: tuple = (-0.24, 0.66)):
         import jax.numpy as jnp
         import scipy.sparse as sp
@@ -141,6 +142,7 @@ class StagedDemDecoder(Decoder):
         self.deep_iters = int(deep_iters)
         self.lam, self.lam3 = int(lam), int(lam3)
         self.min_bucket = int(min_bucket)
+        self.max_bucket = int(max_bucket)
         self.max_iters = self.stage0_iters + self.deep_iters  # contract-ish
 
         Ad = np.asarray(A.todense())
@@ -347,30 +349,38 @@ class StagedDemDecoder(Decoder):
         if need.size == 0:
             return out, solved, iters, {}
 
-        Bb = max(self.min_bucket, next_pow2(need.size))
-        idx = np.concatenate([need, np.repeat(need[:1], Bb - need.size)])
-        det_b = jnp.asarray(syn[idx])
-        ep_np, deep_solved_f, it_np, err3, llrs3, pos_map = \
-            self._deep_relay(det_b, L0, llr0_d)
-        deep_solved_np = deep_solved_f[: need.size]
-        out[need] = ep_np[: need.size]
         iters = iters.copy()
-        iters[need] = self.stage0_iters + it_np[: need.size]
-        solved[need] = deep_solved_np
+        # deep buckets are capped at max_bucket lanes: the K-member tile
+        # multiplies the batch, and an uncapped straggler set on a wide
+        # DEM OOMs the deep program (observed: 4096 stragglers x 3
+        # members x 21,650 mechanisms -> 12.8 GB of messages)
+        for lo in range(0, need.size, self.max_bucket):
+            chunk = need[lo: lo + self.max_bucket]
+            Bb = max(self.min_bucket, next_pow2(chunk.size))
+            idx = np.concatenate(
+                [chunk, np.repeat(chunk[:1], Bb - chunk.size)])
+            det_b = jnp.asarray(syn[idx])
+            ep_np, deep_solved_f, it_np, err3, llrs3, pos_map = \
+                self._deep_relay(det_b, L0, llr0_d)
+            deep_solved_np = deep_solved_f[: chunk.size]
+            out[chunk] = ep_np[: chunk.size]
+            iters[chunk] = self.stage0_iters + it_np[: chunk.size]
+            solved[chunk] = deep_solved_np
 
-        fail = need[~deep_solved_np]
-        if fail.size:
-            # rows of the failed lanes inside the LAST leg's arrays
-            pos = pos_map[np.flatnonzero(~deep_solved_np)]
-            nf = next_pow2(pos.size)
-            posp = np.concatenate([pos, np.repeat(pos[:1], nf - pos.size)])
-            bp_d, order_d = self._gather_failed(Bb, nf)(
-                err3, llrs3, jnp.asarray(posp))
-            bp_np = np.asarray(bp_d)[:, : pos.size].astype(np.uint8)
-            order_np = np.asarray(order_d)[:, : pos.size]
-            picked, _ = self._host_osd_pick(
-                syn[fail], bp_np, order_np, llr0_np)
-            out[fail] = picked.astype(np.int8)
+            fail = chunk[~deep_solved_np]
+            if fail.size:
+                # rows of the failed lanes inside the LAST leg's arrays
+                pos = pos_map[np.flatnonzero(~deep_solved_np)]
+                nf = next_pow2(pos.size)
+                posp = np.concatenate(
+                    [pos, np.repeat(pos[:1], nf - pos.size)])
+                bp_d, order_d = self._gather_failed(Bb, nf)(
+                    err3, llrs3, jnp.asarray(posp))
+                bp_np = np.asarray(bp_d)[:, : pos.size].astype(np.uint8)
+                order_np = np.asarray(order_d)[:, : pos.size]
+                picked, _ = self._host_osd_pick(
+                    syn[fail], bp_np, order_np, llr0_np)
+                out[fail] = picked.astype(np.int8)
         # `solved` = some stage produced a syndrome-consistent estimate
         # WITHOUT OSD (BP-converged); OSD output is consistent whenever
         # the syndrome is in span — the bposd convention.
