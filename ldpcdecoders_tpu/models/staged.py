@@ -327,10 +327,25 @@ class StagedDemDecoder(Decoder):
 
     # -- Decoder contract ----------------------------------------------------
 
+    #: largest batch one stage-0 program may carry ([B, max_dv, N]
+    #: messages; 4096 lanes on the bb144 R=12 DEM compiled to 23.8 GB —
+    #: over HBM); bigger inputs decode in chunks
+    _MAX_STAGE0_BATCH = 2048
+
     def _decode_batch(self, syndromes, seed: int = 0, per=None):
         jnp = self._jnp
         syn = np.asarray(syndromes, np.uint8)
         B = syn.shape[0]
+        cap = self._MAX_STAGE0_BATCH
+        if B > cap:
+            outs, convs, its = [], [], []
+            for lo in range(0, B, cap):
+                o, c, i, _ = self._decode_batch(syn[lo:lo+cap], seed, per)
+                outs.append(np.asarray(o))
+                convs.append(np.asarray(c))
+                its.append(np.asarray(i))
+            return (np.concatenate(outs), np.concatenate(convs),
+                    np.concatenate(its), {})
         if per is None:
             L0 = self._L0_default
             llr0_np = self._llr0
