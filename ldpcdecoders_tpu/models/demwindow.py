@@ -31,6 +31,16 @@ ONE compiled program; only the boundary windows build their own.  The
 inner decoder is the staged production path (models/staged.py) by
 default, so every window's output is syndrome-consistent within its
 truncated model.
+
+Accuracy guidance (measured, benchmarks/results/streaming_r4.json):
+the construction decodes at 1.16-1.19x of the joint LER on models
+whose windows CONVERGE (phenomenological space-time graphs; synthetic
+span-3 DEMs at ~93% window convergence).  On dense circuit DEMs such
+as bb144 (84% of mechanisms span 2-3 rounds), W of 3-5 rounds drops
+window convergence to ~0.64 and the OSD completion then commits wrong
+corrections — choose W several rounds beyond the maximum mechanism
+span and an inner strong enough that windows converge like the joint
+problem does, or stream the phenomenological model instead.
 """
 
 from __future__ import annotations
