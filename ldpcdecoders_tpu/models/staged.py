@@ -83,7 +83,7 @@ class StagedDemDecoder(Decoder):
                  alpha: float = 1.0, lam: int = 40, lam3: int = 0,
                  dtype=None, deep_dtype=None, check_every: int = 8,
                  min_bucket: int = 32, max_bucket: int = 256,
-                 relay_legs: int = 0,
+                 relay_legs: int = 0, osd_rank: str = "abs_llr",
                  relay_range: tuple = (-0.24, 0.66)):
         import jax.numpy as jnp
         import scipy.sparse as sp
@@ -130,6 +130,9 @@ class StagedDemDecoder(Decoder):
                     raise ValueError(f"damping must be in (-1, 1), got {g}")
                 rows[k] = g
         self._gamma_rows = rows
+        if osd_rank not in ("abs_llr", "legacy"):
+            raise ValueError("osd_rank must be 'abs_llr' or 'legacy'")
+        self.osd_rank = osd_rank
         self.relay_legs = int(relay_legs)
         self.relay_range = (float(relay_range[0]), float(relay_range[1]))
         if not -1.0 < self.relay_range[0] <= self.relay_range[1] < 1.0:
@@ -288,11 +291,22 @@ class StagedDemDecoder(Decoder):
             return self._gather_cache[key]
         jax, jnp = self._jax, self._jnp
 
+        abs_rank = self.osd_rank == "abs_llr"
+
         def gather(err3, llrs3, idx):
             bp = jnp.take(err3, idx, axis=1)          # [K, nf, N]
             llr = jnp.take(llrs3, idx, axis=1).astype(jnp.float32)
-            probs = jnp.exp(llr)
-            rel = jnp.maximum(probs, 1.0 - probs)
+            if abs_rank:
+                # |LLR| is the reliability in the log domain: a bit
+                # confidently 1 (llr << 0) is as reliable as one
+                # confidently 0.  The legacy rule max(exp(l), 1-exp(l))
+                # (models/bposd.py parity with the device kernels)
+                # collapses all negative LLRs to rel ~= 1, ranking
+                # confident-1 bits as nearly unreliable.
+                rel = jnp.abs(llr)
+            else:
+                probs = jnp.exp(llr)
+                rel = jnp.maximum(probs, 1.0 - probs)
             order = jnp.argsort(-rel, axis=-1, stable=True)
             return bp.astype(jnp.uint8), order.astype(jnp.int32)
 
