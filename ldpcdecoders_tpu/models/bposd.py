@@ -413,7 +413,7 @@ class BeliefPropagationOSDDecoder(Decoder):
 
                 warnings.warn(
                     f"osd_order {osd_order} exceeds information-set size "
-                    f"{max_order}; clamping."
+                    f"{max_order}; clamping.", stacklevel=2
                 )
                 osd_order = int(max_order)
         else:

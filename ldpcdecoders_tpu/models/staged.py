@@ -60,7 +60,11 @@ class StagedDemDecoder(Decoder):
       gammas: ensemble damping factors; ``gammas[0]`` also drives
         stage 0.  One entry = exact round-3 single-decoder semantics.
       stage0_iters: full-batch iteration cap (the throughput knob; the
-        99%-case cost per shot).
+        99%-case cost per shot).  Should lie on the ``check_every``
+        grid: the bit-exactness of stage-0 capping ("a converged lane
+        is identical whether the cap is 100 or 10,000") holds only when
+        the cap coincides with a syndrome check, so off-grid values are
+        rounded UP to the next multiple of ``check_every``.
       deep_iters: straggler-bucket iteration cap (the accuracy knob).
       alpha: min-sum normalization (1.0 measured best on circuit DEMs).
       lam / lam3: host OSD-CS pair / triple sweep depths.
@@ -79,12 +83,13 @@ class StagedDemDecoder(Decoder):
     """
 
     def __init__(self, A, priors, *, observables=None, gammas=(0.4,),
-                 stage0_iters: int = 100, deep_iters: int = 1000,
+                 stage0_iters: int = 96, deep_iters: int = 1000,
                  alpha: float = 1.0, lam: int = 40, lam3: int = 0,
                  dtype=None, deep_dtype=None, check_every: int = 8,
-                 min_bucket: int = 32, max_bucket: int = 256,
+                 min_bucket: int = 32, max_bucket: int | None = None,
                  relay_legs: int = 0, osd_rank: str = "abs_llr",
-                 relay_range: tuple = (-0.24, 0.66)):
+                 relay_range: tuple = (-0.24, 0.66),
+                 hbm_bytes: int | None = None):
         import jax.numpy as jnp
         import scipy.sparse as sp
 
@@ -141,11 +146,11 @@ class StagedDemDecoder(Decoder):
         # promoting scalar members to full rows when relay is on
         self._gamma_arg = (rows if self._has_dmem or self.relay_legs
                            else rows[:, 0].copy())
-        self.stage0_iters = int(stage0_iters)
+        ce = max(1, int(check_every))
+        self.stage0_iters = -(-int(stage0_iters) // ce) * ce
         self.deep_iters = int(deep_iters)
         self.lam, self.lam3 = int(lam), int(lam3)
         self.min_bucket = int(min_bucket)
-        self.max_bucket = int(max_bucket)
         self.max_iters = self.stage0_iters + self.deep_iters  # contract-ish
 
         Ad = np.asarray(A.todense())
@@ -168,6 +173,29 @@ class StagedDemDecoder(Decoder):
         dtype = jnp.float32 if dtype is None else dtype
         deep_dtype = jnp.float32 if deep_dtype is None else deep_dtype
         self.dtype, self.deep_dtype = dtype, deep_dtype
+
+        # batch/bucket ceilings derived from the device budget (round 4
+        # hardcoded 2048/256 after observed v5e OOMs; utils/hbm.py
+        # models the peak instead so other chips pick correct caps)
+        from ..utils.hbm import max_lanes_for
+
+        self._max_stage0_batch = max_lanes_for(
+            self.graph, dtype_bytes=jnp.dtype(dtype).itemsize,
+            fraction=0.85, hbm_bytes=hbm_bytes, lo=256, hi=8192)
+        if max_bucket is None:
+            # the deep program shares HBM with pipelined stage-0 work:
+            # budget K*Bb member lanes at a conservative fraction
+            deep_lanes = max_lanes_for(
+                self.graph, dtype_bytes=jnp.dtype(deep_dtype).itemsize,
+                fraction=0.45, hbm_bytes=hbm_bytes,
+                lo=self.min_bucket, hi=16384)
+            mb = max(self.min_bucket, deep_lanes // self.K)
+            p = self.min_bucket
+            while p * 2 <= mb:
+                p *= 2
+            self.max_bucket = p
+        else:
+            self.max_bucket = int(max_bucket)
         g0 = self.gammas[0]
         if isinstance(g0, tuple):  # dmem member: a scalar proxy for stage 0
             g0 = float(np.clip((g0[0] + g0[1]) / 2, 0.0, 0.9))
@@ -225,7 +253,10 @@ class StagedDemDecoder(Decoder):
 
     def _relay_rows(self, leg: int) -> np.ndarray:
         """Fresh disordered-memory draws for relay leg ``leg`` — K new
-        per-mechanism gamma vectors, deterministic per (decoder, leg)."""
+        per-mechanism gamma vectors, deterministic per (leg, member)
+        and INDEPENDENT of the decoder instance: every decoder sharing
+        a leg index replays the same draws, which is what makes the
+        pooled evaluator's cross-batch relay replay exact."""
         lo, hi = self.relay_range
         r = np.empty((self.K, self.N), np.float32)
         for k in range(self.K):
@@ -341,16 +372,15 @@ class StagedDemDecoder(Decoder):
 
     # -- Decoder contract ----------------------------------------------------
 
-    #: largest batch one stage-0 program may carry ([B, max_dv, N]
-    #: messages; 4096 lanes on the bb144 R=12 DEM compiled to 23.8 GB —
-    #: over HBM); bigger inputs decode in chunks
-    _MAX_STAGE0_BATCH = 2048
-
     def _decode_batch(self, syndromes, seed: int = 0, per=None):
         jnp = self._jnp
         syn = np.asarray(syndromes, np.uint8)
         B = syn.shape[0]
-        cap = self._MAX_STAGE0_BATCH
+        # largest batch one stage-0 program may carry (4096 lanes on the
+        # bb144 R=12 DEM compiled to 23.8 GB — over a v5e's HBM); the
+        # ceiling is derived from the device budget in __init__ and
+        # bigger inputs decode in chunks
+        cap = self._max_stage0_batch
         if B > cap:
             outs, convs, its = [], [], []
             for lo in range(0, B, cap):
@@ -360,16 +390,28 @@ class StagedDemDecoder(Decoder):
                 its.append(np.asarray(i))
             return (np.concatenate(outs), np.concatenate(convs),
                     np.concatenate(its), {})
-        if per is None:
-            L0 = self._L0_default
-            llr0_np = self._llr0
-        else:
-            p = np.broadcast_to(np.asarray(per, np.float64), (self.N,))
-            llr0_np = np.log((1.0 - p) / p).astype(np.float32)
-            L0 = jnp.asarray(llr0_np)
-        llr0_d = jnp.asarray(llr0_np)
+        L0, llr0_np, llr0_d = self._channel(per)
+        err0, conv0, it0, _ = self._stage0_fn(jnp.asarray(syn), L0)
+        return self._post_stage0(syn, err0, conv0, it0, L0, llr0_np,
+                                 llr0_d)
 
-        err0, conv0, it0, llrs0 = self._stage0_fn(jnp.asarray(syn), L0)
+    def _channel(self, per=None):
+        """Channel LLRs for a decode call: ``(L0 device, llr0 numpy,
+        llr0 device)`` — default priors unless ``per`` overrides."""
+        jnp = self._jnp
+        if per is None:
+            return self._L0_default, self._llr0, jnp.asarray(self._llr0)
+        p = np.broadcast_to(np.asarray(per, np.float64), (self.N,))
+        llr0_np = np.log((1.0 - p) / p).astype(np.float32)
+        return jnp.asarray(llr0_np), llr0_np, jnp.asarray(llr0_np)
+
+    def _post_stage0(self, syn, err0, conv0, it0, L0, llr0_np, llr0_d):
+        """Stages 1-2 given stage-0 results: compact stragglers into
+        deep-ensemble buckets (+ relay legs), then native host OSD on
+        the shots no member solved.  Split out of :meth:`_decode_batch`
+        so the sharded path (parallel/staged.py) can run stage 0 as a
+        mesh-partitioned program and reuse the identical tail."""
+        jnp = self._jnp
         conv0_np = np.asarray(conv0)
         need = np.flatnonzero(~conv0_np)
         out = np.asarray(err0).astype(np.int8)
@@ -618,7 +660,11 @@ class StagedDemDecoder(Decoder):
             "fails": fails,
             "logical_rate": fails / trials if trials else 0.0,
             "logical_ci95": [lo, hi],
-            "converged": conv0 / trials if trials else 0.0,
+            # BP-solved by ANY stage (stage 0 or deep/relay) — the same
+            # semantics as batch_decode's solved flag; stage-0-only
+            # convergence is profile["stage0_conv"]
+            "converged": ((conv0 + deep_solved) / trials
+                          if trials else 0.0),
             "throughput_shots_per_s": trials / dt if dt else 0.0,
             "device_sampled": True,
             "profile": {
