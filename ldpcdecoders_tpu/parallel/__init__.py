@@ -1,5 +1,6 @@
 from .mesh import make_mesh, batch_sharding, shard_batch
 from .multihost import initialize_multihost, global_mesh, allreduce_counts
+from .staged import sharded_staged_decode, staged_local_eval
 from .spmd import (
     sharded_batch_decode,
     decode_with_stats,
@@ -22,4 +23,6 @@ __all__ = [
     "initialize_multihost",
     "global_mesh",
     "allreduce_counts",
+    "sharded_staged_decode",
+    "staged_local_eval",
 ]
