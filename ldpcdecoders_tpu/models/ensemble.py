@@ -16,9 +16,11 @@ Hamming weight when no prior is given), NOT first-come.  Shots where
 no member is consistent keep the first member's output (flagged
 non-converged).
 
-Cost is K sequential member decodes (device) plus one host selection
-pass; members may be ANY mix of decoders on the same code (different
-damping/alpha/schedules/inners — even different families).
+Cost: homogeneous ``MinSumDecoder`` members differing only in damping
+fuse into ONE compiled lane-damped program (members are batch lanes,
+selection on device — VERDICT r4 item 9); any other mix of decoders on
+the same code (different alpha/schedules/inners — even different
+families) runs K sequential member decodes plus a host selection pass.
 
 No reference analog: the reference runs one decoder per call
 (/root/reference/src/decoders/abstract_decoder.jl:31-48); this is the
@@ -96,10 +98,91 @@ class EnsembleDecoder(Decoder):
         # convergence reports "some member produced a consistent
         # candidate", which by construction implies a syndrome match
         self.converged_implies_syndrome_match = True
+        # VERDICT r4 item 9: members sharing one graph and differing
+        # only in damping fuse into the lane_damping program — K member
+        # lanes of ONE compiled decode with the ML pick on device —
+        # instead of K sequential dispatches + host matmuls
+        self._fused_gammas = self._try_fuse_plan()
+        self._fused_cache: dict[int, object] = {}
+
+    def _try_fuse_plan(self):
+        """Per-member damping vector when the ensemble is fusable
+        (homogeneous ``MinSumDecoder`` members on one graph differing
+        only in ``damping``), else ``None`` (heterogeneous members keep
+        the sequential loop)."""
+        from .minsum import MinSumDecoder
+
+        ms = self.members
+        if len(ms) < 2 or not all(type(d) is MinSumDecoder for d in ms):
+            return None
+        d0 = ms[0]
+        if d0._use_pallas or np.ndim(d0.alpha) or np.ndim(d0.beta):
+            return None
+        for d in ms[1:]:
+            if d.graph is not d0.graph and not (
+                    d.graph.H is not None and d0.graph.H is not None
+                    and np.array_equal(d.graph.H, d0.graph.H)):
+                return None
+            if (d._use_pallas or np.ndim(d.per) or d.per != d0.per
+                    or d.max_iters != d0.max_iters or d.alpha != d0.alpha
+                    or d.beta != d0.beta or d.dtype != d0.dtype
+                    or d.check_every != d0.check_every):
+                return None
+        return np.asarray([d.damping for d in ms], np.float32)
+
+    def _fused_fn(self, B: int):
+        """One jitted program per batch width: K-member lane-damped
+        decode + on-device syndrome-consistent ML pick.  Tie-breaking
+        matches the sequential loop exactly: first member with the
+        strictly smallest score wins; no consistent member keeps member
+        0's output."""
+        if B in self._fused_cache:
+            return self._fused_cache[B]
+        import jax
+        import jax.numpy as jnp
+
+        from .minsum import make_minsum_decode_fn
+
+        d0 = self.members[0]
+        K = len(self.members)
+        raw = make_minsum_decode_fn(
+            d0.graph, d0.per, d0.max_iters, alpha=d0.alpha, beta=d0.beta,
+            dtype=d0.dtype, check_every=d0.check_every, lane_damping=True)
+        w_d = jnp.asarray(self._w, jnp.float32)
+
+        def fused(syn_t, L0, gam):
+            err, conv, iters, _ = raw(syn_t, L0, gam)
+            score = jnp.dot(err.astype(jnp.float32), w_d,
+                            preferred_element_type=jnp.float32)
+            score = jnp.where(conv, score, jnp.inf).reshape(K, B)
+            pick = jnp.argmin(score, axis=0)  # first-min ties, like the loop
+            any_ok = jnp.any(conv.reshape(K, B), axis=0)
+            err3 = err.reshape(K, B, self.n).astype(jnp.int8)
+            out = jnp.take_along_axis(err3, pick[None, :, None], axis=0)[0]
+            best = jnp.take_along_axis(score, pick[None, :], axis=0)[0]
+            return (out, any_ok, jnp.sum(iters.reshape(K, B), axis=0),
+                    jnp.where(jnp.isinf(best), -1.0, best))
+
+        fn = jax.jit(fused)
+        self._fused_cache[B] = fn
+        return fn
 
     def _decode_batch(self, syndromes, seed: int = 0, per=None):
         syn = np.asarray(syndromes).astype(np.uint8)
         B = syn.shape[0]
+        if self._fused_gammas is not None:
+            import jax.numpy as jnp
+
+            from .priors import per_to_llr
+
+            L0 = None
+            if per is not None:
+                L0 = jnp.asarray(per_to_llr(per, self.n), jnp.float32)
+            K = len(self.members)
+            syn_t = jnp.asarray(np.tile(syn, (K, 1)))
+            gam = jnp.asarray(np.repeat(self._fused_gammas, B))
+            out, any_ok, iters, best = self._fused_fn(B)(syn_t, L0, gam)
+            return out, any_ok, iters.astype(jnp.int32), {"ml_score": best}
         best = np.full(B, np.inf)
         out = None
         iters_acc = np.zeros(B, np.int64)

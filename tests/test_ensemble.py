@@ -171,3 +171,38 @@ def test_ensemble_decoder_config_roundtrip():
         lt.DecoderConfig(kind="ensemble", members=(cfg,))
     with pytest.raises(ValueError, match="ensemble-only"):
         lt.DecoderConfig(kind="bp", members=({"kind": "bp"},))
+
+
+def test_fused_minsum_ensemble_matches_sequential_loop():
+    """Shared-graph MinSum members differing only in damping take the
+    fused lane-damped path (VERDICT r4 item 9); outputs, convergence,
+    ml_score aux, and iteration sums must match the sequential loop
+    bit for bit (same decode math, same first-min tie-breaking)."""
+    H, x, syn = _code()
+    graph = lt.TannerGraph.from_pcm(H)
+    members = [lt.MinSumDecoder(graph, 0.06, 24, damping=g, check_every=4)
+               for g in (0.0, 0.2, 0.5)]
+    ens = EnsembleDecoder(members, H=H)
+    assert ens._fused_gammas is not None  # plan detected
+    ef, cf, itf, auxf = ens._call_decode(syn, 0, None)
+    ens._fused_gammas = None  # force the general loop on the same object
+    el, cl, itl, auxl = ens._call_decode(syn, 0, None)
+    np.testing.assert_array_equal(np.asarray(ef), np.asarray(el))
+    np.testing.assert_array_equal(np.asarray(cf), np.asarray(cl))
+    np.testing.assert_array_equal(np.asarray(itf), np.asarray(itl))
+    np.testing.assert_allclose(np.asarray(auxf["ml_score"]),
+                               np.asarray(auxl["ml_score"]), rtol=1e-5)
+
+
+def test_fused_plan_rejects_heterogeneous_members():
+    """Members that differ in anything but damping keep the loop."""
+    H, _, _ = _code()
+    graph = lt.TannerGraph.from_pcm(H)
+    diff_alpha = EnsembleDecoder(
+        [lt.MinSumDecoder(graph, 0.06, 24, alpha=1.0),
+         lt.MinSumDecoder(graph, 0.06, 24, alpha=0.8)], H=H)
+    assert diff_alpha._fused_gammas is None
+    diff_kind = EnsembleDecoder(
+        [lt.MinSumDecoder(graph, 0.06, 24),
+         lt.BeliefPropagationDecoder(graph, 0.06, 24)], H=H)
+    assert diff_kind._fused_gammas is None
