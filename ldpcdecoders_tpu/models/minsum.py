@@ -42,6 +42,7 @@ def make_minsum_decode_fn(
     check_every: int = 1,
     lane_damping: bool = False,
     vectorized_check: bool | None = None,
+    layout: str = "var",
 ):
     """Build a jittable ``syndromes [B,m] -> (err, converged, iters, llrs)``.
 
@@ -74,6 +75,22 @@ def make_minsum_decode_fn(
     ``edge_weights`` optionally applies trained per-edge message weights
     ``[max_iters, max_dv, n]`` (var-slot layout) in the variable update —
     the Nachmani-style weighted min-sum models/neural.py trains.
+
+    ``layout`` selects the message residency (round-5 wide-DEM work):
+
+      * ``"var"`` (default) — the original slot-major scheme: state is
+        the var->check messages ``nu [B, max_dv, n]``; each iteration
+        gathers them to check layout and the check outputs back.
+      * ``"check"`` — state is the check->var side only: ``nu`` at a
+        check slot is reconstructed as ``total[var] - mu`` (the
+        exclusive-sum identity), so the check update needs NO gather
+        and the remaining per-iteration gathers are [dc*m]-from-[n]
+        (small source) plus the unavoidable [dv*n]-from-[dc*m].  On
+        graphs where ``max_dc*m < max_dv*n`` (circuit-level DEMs:
+        254k vs 380k on bb144) this also shrinks the loop-carried
+        state ~33%.  Bit-identical outputs (same per-edge arithmetic
+        and reduction orders; asserted in tests/test_minsum.py).
+        Unsupported with use_pallas/edge_weights/per-iteration alpha.
     """
     m, n = graph.m, graph.n
     max_dc, max_dv = graph.max_dc, graph.max_dv
@@ -119,8 +136,20 @@ def make_minsum_decode_fn(
     check_every = int(check_every)
     if check_every < 1:
         raise ValueError(f"check_every must be >= 1, got {check_every}")
+    if layout not in ("var", "check"):
+        raise ValueError(f"layout must be 'var' or 'check', got {layout!r}")
+    if layout == "check" and (use_pallas or edge_weights is not None
+                              or per_iter_ab):
+        raise ValueError("layout='check' supports the plain jnp decode "
+                         "path only (no pallas/edge_weights/per-iter "
+                         "alpha)")
     gam = dtype(damping)
     big = dtype(1e30)
+    # var index per check slot — the same array the dense-free syndrome
+    # gather uses; the check-layout decode gathers totals through it
+    chk_varidx = (jnp.asarray(
+        np.ascontiguousarray(graph.chk_vars.T).reshape(-1))
+        if layout == "check" else None)
 
     # Two bit-identical check-update formulations, selected by degree:
     #   * unrolled two-min sweep — measured 1.5x faster than the
@@ -140,6 +169,11 @@ def make_minsum_decode_fn(
         """Var-side nu [B, dv*n] -> check-side mu [B, dc, m]."""
         B = nu_flat.shape[0]
         Ng = jnp.take(nu_flat, c2v, axis=1).reshape(B, max_dc, m)
+        return check_core(Ng, syn_flip, alpha, beta)
+
+    def check_core(Ng, syn_flip, alpha=alpha, beta=beta):
+        """Check-slot messages [B, dc, m] -> mu [B, dc, m] (no gather)."""
+        B = Ng.shape[0]
         masked = jnp.where(chk_mask, Ng, big)
         mag = jnp.abs(masked)
         neg = masked < dtype(0.0)
@@ -309,7 +343,87 @@ def make_minsum_decode_fn(
         iters = jnp.where(done, iters, it)
         return err.astype(jnp.int8), done, iters, llrs
 
-    return decode
+    def decode_check(syndromes, L0=None, gamma=None):
+        """Check-resident variant: state is the check-slot messages;
+        ``nu = total[var] - mu`` reconstructs the var->check side, so
+        the check update runs gather-free.  Bit-identical to
+        :func:`decode` (same per-edge arithmetic, same reduction
+        orders)."""
+        if lane_damping:
+            if gamma is None:
+                raise ValueError("lane_damping decoders take a [B] gamma")
+        elif gamma is not None:
+            raise ValueError("gamma requires lane_damping=True")
+        if L0 is None:
+            L0 = default_L0
+        L0 = jnp.asarray(L0, dtype)
+        syndromes = jnp.asarray(syndromes)
+        B = syndromes.shape[0]
+        syn_f = syndromes.astype(jnp.float32)
+        syn_flip = syndromes.astype(bool)
+        gamma_c = None
+        if lane_damping:
+            gamma_b = jnp.asarray(gamma, dtype)
+            if gamma_b.ndim == 1:
+                gamma_c = gamma_b.reshape(B, 1, 1)
+            else:
+                # per-variable memory strengths: constant across
+                # iterations, so hoist the edge expansion out of the loop
+                gamma_c = jnp.take(gamma_b.reshape(B, n), chk_varidx,
+                                   axis=1).reshape(B, max_dc, m)
+
+        L0 = jnp.broadcast_to(L0, (B, n)).astype(dtype)
+        nu0 = jnp.take(L0, chk_varidx, axis=1).reshape(B, max_dc, m)
+        state0 = (
+            nu0,  # nu in CHECK layout [B, max_dc, m]
+            jnp.zeros((B, n), jnp.float32),  # err
+            L0,  # llrs
+            jnp.zeros((B,), bool),
+            jnp.int32(0),
+            jnp.zeros((B,), jnp.int32),
+        )
+
+        def cond(st):
+            _, _, _, done, it, _ = st
+            return (it < max_iters) & ~jnp.all(done)
+
+        def body(st):
+            nu, err, llrs, done, it, iters = st
+            mu = check_core(nu, syn_flip)
+            Mg = jnp.take(mu.reshape(B, max_dc * m), v2c,
+                          axis=1).reshape(B, max_dv, n)
+            Mg = jnp.where(var_mask, Mg, dtype(0.0))
+            total = L0 + jnp.sum(Mg, axis=1)
+            nu_n = jnp.take(total, chk_varidx, axis=1).reshape(
+                B, max_dc, m) - mu
+            if lane_damping:
+                nu_n = gamma_c * nu + (dtype(1.0) - gamma_c) * nu_n
+            elif damping:
+                nu_n = gam * nu + (dtype(1.0) - gam) * nu_n
+            errn = (total < 0).astype(jnp.float32)
+            active = ~done
+            err = jnp.where(active[:, None], errn, err)
+            llrs = jnp.where(active[:, None], total, llrs)
+            if check_every == 1:
+                ok = jnp.all(syndrome_from(err) == syn_f, axis=-1)
+            else:
+                is_check = (jnp.mod(it + 1, check_every) == 0) | (
+                    it + 1 >= max_iters)
+                ok = jax.lax.cond(
+                    is_check,
+                    lambda e: jnp.all(syndrome_from(e) == syn_f, axis=-1),
+                    lambda e: jnp.zeros((B,), bool),
+                    err,
+                )
+            iters = jnp.where(ok & active, it + 1, iters)
+            return nu_n, err, llrs, done | ok, it + 1, iters
+
+        _, err, llrs, done, it, iters = jax.lax.while_loop(
+            cond, body, state0)
+        iters = jnp.where(done, iters, it)
+        return err.astype(jnp.int8), done, iters, llrs
+
+    return decode_check if layout == "check" else decode
 
 
 class MinSumDecoder(Decoder):
@@ -331,6 +445,8 @@ class MinSumDecoder(Decoder):
         detector models at deep iteration counts.
       dtype: message dtype — jnp.bfloat16 is the fastest variant measured
         (3.2e10 edge-iterations/s on v5e vs 2.3e10 f32 / 2.8e10 int8).
+      layout: message residency, "var" (default) or "check" — see
+        :func:`make_minsum_decode_fn`; decode-equivalent, not bitwise.
 
     Example:
 
@@ -354,6 +470,7 @@ class MinSumDecoder(Decoder):
         use_pallas: bool = False,
         damping: float = 0.0,
         check_every: int = 1,
+        layout: str = "var",
     ):
         self.graph = H if isinstance(H, TannerGraph) else TannerGraph.from_pcm(H)
         self.m, self.n = self.graph.m, self.graph.n
@@ -363,6 +480,7 @@ class MinSumDecoder(Decoder):
         self.beta = beta if np.ndim(beta) else float(beta)
         self.damping = float(damping)
         self.check_every = int(check_every)
+        self.layout = str(layout)
         self._use_pallas = bool(use_pallas)
         if use_pallas:
             self.supports_per_override = False  # kernels bake the prior
@@ -378,6 +496,7 @@ class MinSumDecoder(Decoder):
                 use_pallas=use_pallas,
                 damping=self.damping,
                 check_every=self.check_every,
+                layout=self.layout,
             )
         )
 

@@ -80,6 +80,10 @@ class StagedDemDecoder(Decoder):
         is THE accuracy lever — failures track OSD load ~1:3 while OSD
         search depth is saturated (lam 100/lam3 60 == lam 60/lam3 40).
       relay_range: (lo, hi) for relay-leg gamma draws.
+      hbm_bytes: optional explicit device-memory budget for the
+        batch/bucket ceilings (utils/hbm.py detects when omitted).
+      layout: message residency of the stage-0/deep programs ("var"
+        default, "check" = gather-free check update; models/minsum.py).
     """
 
     def __init__(self, A, priors, *, observables=None, gammas=(0.4,),
@@ -89,7 +93,7 @@ class StagedDemDecoder(Decoder):
                  min_bucket: int = 32, max_bucket: int | None = None,
                  relay_legs: int = 0, osd_rank: str = "abs_llr",
                  relay_range: tuple = (-0.24, 0.66),
-                 hbm_bytes: int | None = None):
+                 hbm_bytes: int | None = None, layout: str = "var"):
         import jax.numpy as jnp
         import scipy.sparse as sp
 
@@ -200,14 +204,15 @@ class StagedDemDecoder(Decoder):
         if isinstance(g0, tuple):  # dmem member: a scalar proxy for stage 0
             g0 = float(np.clip((g0[0] + g0[1]) / 2, 0.0, 0.9))
         self.stage0_gamma = max(0.0, g0)
+        self.layout = str(layout)
         self._stage0_fn = jax.jit(make_minsum_decode_fn(
             self.graph, float(priors.mean()), self.stage0_iters,
             alpha=alpha, dtype=dtype, damping=self.stage0_gamma,
-            check_every=check_every))
+            check_every=check_every, layout=self.layout))
         self._deep_raw = make_minsum_decode_fn(
             self.graph, float(priors.mean()), self.deep_iters,
             alpha=alpha, dtype=deep_dtype, lane_damping=True,
-            check_every=check_every)
+            check_every=check_every, layout=self.layout)
         self._jnp = jnp
         self._jax = jax
         self._deep_cache: dict[int, object] = {}
@@ -264,34 +269,25 @@ class StagedDemDecoder(Decoder):
                 (0xE1A9, leg, k)).uniform(lo, hi, self.N)
         return r
 
-    def _deep_relay(self, det_b, L0, llr0_d):
-        """Deep ensemble + relay restarts: survivors of the K-member
-        bucket are re-decoded with FRESH disordered-memory draws, up to
-        ``relay_legs`` times (Relay-BP's sequential-leg idea, adaptive:
-        each leg only pays for lanes every earlier member missed —
-        measured on bb144 p=0.003, scaling members 3 -> 6 cut OSD load
-        99 -> 61 lanes and failures 33 -> 12 per 2048 shots).
+    def _run_relay(self, det_np, L0, llr0_d, out, solved_np, iters_np,
+                   err3, llrs3):
+        """Relay legs over ``det_np`` lanes IN PLACE (Relay-BP's
+        sequential-leg idea): each leg re-decodes only the remaining
+        survivors with FRESH disordered-memory draws, right-sized to
+        the survivor count.  Draws are deterministic per (leg, member)
+        and lane results are lane-independent, so pooling lanes from
+        different leg-0 buckets into one relay bucket is replay-exact.
 
-        Returns ``(out, solved, iters, err3, llrs3, pos_map)`` where
-        ``err3/llrs3`` are the LAST executed leg's member arrays and
-        ``pos_map[b]`` locates bucket lane ``b`` inside them (for the
-        OSD gather on still-unsolved lanes)."""
+        Returns ``(err3, llrs3, pos_map)`` — the LAST executed leg's
+        member arrays and ``pos_map[b]`` locating lane ``b`` inside
+        them (for the OSD gather on still-unsolved lanes)."""
         jnp = self._jnp
-        Bb = det_b.shape[0]
-        deep = self._deep_step(Bb)
-        err_pick, solved, it_pick, err3, llrs3 = deep(
-            det_b, L0, llr0_d, jnp.asarray(self._gamma_arg))
-        out = np.asarray(err_pick).copy()
-        solved_np = np.asarray(solved).copy()
-        iters_np = np.asarray(it_pick).copy()
+        Bb = det_np.shape[0]
         pos_map = np.arange(Bb)
-        det_np = None
         for leg in range(self.relay_legs):
             un = np.flatnonzero(~solved_np)
             if un.size == 0:
                 break
-            if det_np is None:
-                det_np = np.asarray(det_b)
             # right-size the leg to its survivors: legs typically carry
             # <= Bb/4 lanes, and re-running the full bucket wastes K*Bb
             # deep iterations on padding (leg programs compile once per
@@ -309,6 +305,28 @@ class StagedDemDecoder(Decoder):
             solved_np[newly] = True
             pos_map = np.full(Bb, 0)
             pos_map[un] = np.arange(un.size)
+        return err3, llrs3, pos_map
+
+    def _deep_relay(self, det_b, L0, llr0_d):
+        """Deep ensemble + relay restarts: leg 0 on the full bucket,
+        then :meth:`_run_relay` on its survivors (measured on bb144
+        p=0.003, scaling members 3 -> 6 cut OSD load 99 -> 61 lanes and
+        failures 33 -> 12 per 2048 shots).
+
+        Returns ``(out, solved, iters, err3, llrs3, pos_map)``."""
+        jnp = self._jnp
+        Bb = det_b.shape[0]
+        deep = self._deep_step(Bb)
+        err_pick, solved, it_pick, err3, llrs3 = deep(
+            det_b, L0, llr0_d, jnp.asarray(self._gamma_arg))
+        out = np.asarray(err_pick).copy()
+        solved_np = np.asarray(solved).copy()
+        iters_np = np.asarray(it_pick).copy()
+        pos_map = np.arange(Bb)
+        if self.relay_legs and not solved_np.all():
+            err3, llrs3, pos_map = self._run_relay(
+                np.asarray(det_b), L0, llr0_d, out, solved_np, iters_np,
+                err3, llrs3)
         return out, solved_np, iters_np, err3, llrs3, pos_map
 
     def _gather_failed(self, Bb: int, nf: int):
@@ -348,18 +366,35 @@ class StagedDemDecoder(Decoder):
     # -- host OSD ----------------------------------------------------------
 
     def _host_osd_pick(self, syn_np, bp_np, order_np, llr0_np):
-        """Native OSD-CS per member on ``[K, nf, ...]`` lanes, then the
-        same ML pick: min prior-weighted correction among syndrome-
+        """Native OSD-CS per candidate on ``[K, nf, ...]`` lanes, then
+        the same ML pick: min prior-weighted correction among syndrome-
         consistent candidates (falls back to the overall min if the
-        syndrome lies outside the column span)."""
+        syndrome lies outside the column span).
+
+        Round-5 addition (failure_modes_r5.json): every measured
+        flagship failure was a SEARCH failure — a never-BP-converged
+        lane whose posterior ordering was near-random, so OSD returned
+        syndrome-consistent corrections of weight 100-370 against
+        weight ~25-45 truths (score gaps 600-3000).  A posterior-free
+        candidate joins the pick: ``bp = 0`` with the CHANNEL-PRIOR
+        reliability ordering — classic information-set decoding in
+        static prior order, immune to posterior garbage."""
         from ..native import gf2_osd_cs_host
 
         K, nf, _ = bp_np.shape
-        outs = np.empty((K, nf, self.N), np.uint8)
-        cons = np.empty((K, nf), bool)
-        for k in range(K):
+        prior_order = np.argsort(
+            -np.abs(llr0_np), kind="stable").astype(np.int32)
+        bp_ext = np.concatenate(
+            [bp_np, np.zeros((1, nf, self.N), np.uint8)])
+        order_ext = np.concatenate(
+            [order_np,
+             np.broadcast_to(prior_order, (1, nf, self.N))]).astype(
+                 np.int32)
+        outs = np.empty((K + 1, nf, self.N), np.uint8)
+        cons = np.empty((K + 1, nf), bool)
+        for k in range(K + 1):
             o, c = gf2_osd_cs_host(self._Hcols, self.D, self.lam,
-                                   order_np[k], bp_np[k], syn_np,
+                                   order_ext[k], bp_ext[k], syn_np,
                                    lam3=self.lam3)
             outs[k], cons[k] = o, c
         score = outs.astype(np.float32) @ llr0_np
@@ -537,13 +572,23 @@ class StagedDemDecoder(Decoder):
 
         n_batches = max(1, -(-shots // batch))
         trials = fails = conv0 = it0_sum = 0
-        fails_s0 = fails_deep = fails_osd = 0
+        fails_s0 = fails_deep = fails_relay = fails_osd = 0
         deep_shots = deep_solved = osd_shots = osd_consistent = 0
-        t_osd = deep_wall = 0.0
+        relay_shots = relay_solved = 0
+        t_osd = deep_wall = relay_wall = 0.0
         pool_det: list[np.ndarray] = []
         pool_obs: list[np.ndarray] = []
         pool_n = 0
-        pending: list = []  # ("s0", handles) | ("deep", handles, n_real, t)
+        # survivors of deep leg 0 pool ACROSS buckets into full-width
+        # relay jobs (round 5): per-bucket relay legs ran at widths of
+        # ~a dozen survivors each — 8 legs x 12 skinny dispatches per
+        # 16k shots dominated the wall.  Lane results are unchanged:
+        # relay draws are (leg, member)-indexed and lanes are
+        # independent, so pooling is replay-exact.
+        rpool_det: list[np.ndarray] = []
+        rpool_obs: list[np.ndarray] = []
+        rpool_n = 0
+        pending: list = []  # ("s0", handles) | ("deep"/"relay", ...)
         osd_futs: list = []
         executor = ThreadPoolExecutor(max_workers=1)
         rng0 = np.random.default_rng(seed)
@@ -580,9 +625,43 @@ class StagedDemDecoder(Decoder):
                 pending.append(("deep", det_b, obs_b, take,
                                 time.perf_counter()))
 
+        def dispatch_relay(force=False):
+            # half-bucket threshold: waiting for a FULL bucket would
+            # push nearly all relay work past the stage-0 stream (the
+            # relay pool fills ~10x slower than the deep pool)
+            nonlocal rpool_n
+            while rpool_n >= max(32, deep_bucket // 2) or (
+                    force and rpool_n):
+                det_all = np.concatenate(rpool_det)
+                obs_all = np.concatenate(rpool_obs)
+                take = min(deep_bucket, rpool_n)
+                rpool_det.clear()
+                rpool_obs.clear()
+                if take < det_all.shape[0]:
+                    rpool_det.append(det_all[take:])
+                    rpool_obs.append(obs_all[take:])
+                rpool_n -= take
+                # no padding: relay legs right-size internally
+                pending.append(("relay", det_all[:take], obs_all[:take],
+                                take, time.perf_counter()))
+
+        def to_osd(det_u, obs_u, err3, llrs3, rowpos):
+            """Fetch-minimizing OSD dispatch for still-unsolved lanes:
+            only their hard decisions + reliability ORDER come back."""
+            nf = next_pow2(rowpos.size)
+            posp = np.concatenate(
+                [rowpos, np.repeat(rowpos[:1], nf - rowpos.size)])
+            gf = self._gather_failed(int(err3.shape[1]), nf)
+            bp_d, order_d = gf(err3, llrs3, jnp.asarray(posp))
+            bp_np = np.asarray(bp_d)[:, :rowpos.size].astype(np.uint8)
+            order_np = np.asarray(order_d)[:, :rowpos.size]
+            osd_futs.append(executor.submit(
+                osd_job, det_u, bp_np, order_np, obs_u))
+
         def drain_one():
             nonlocal trials, fails, conv0, it0_sum, pool_n, deep_shots, \
-                deep_solved, deep_wall, fails_s0, fails_deep
+                deep_solved, deep_wall, fails_s0, fails_deep, rpool_n, \
+                relay_shots, relay_solved, relay_wall, fails_relay
             item = pending.pop(0)
             if item[0] == "s0":
                 counts, conv, det, obs_t = item[1]
@@ -600,32 +679,51 @@ class StagedDemDecoder(Decoder):
                     pool_n += miss.size
                 dispatch_deep()
                 return
-            _, det_b, obs_b, take, t_disp = item
-            ep, solved_f, _, err3, llrs3, pos_map = self._deep_relay(
-                jnp.asarray(det_b), L0, llr0_d)
-            deep_wall += time.perf_counter() - t_disp
-            deep_shots += take
-            solved_np = solved_f[:take]
-            deep_solved += int(solved_np.sum())
-            # verdicts for BP-solved lanes on host (bucket-sized matmul)
-            pred = (ep[:take].astype(np.int32) @ self.O.T.astype(
-                np.int32)) & 1
-            f = int(((pred != obs_b[:take]).any(axis=1) & solved_np).sum())
+            if item[0] == "deep":
+                _, det_b, obs_b, take, t_disp = item
+                ep_d, solved_d, _, err3, llrs3 = self._deep_step(
+                    det_b.shape[0])(jnp.asarray(det_b), L0, llr0_d,
+                                    jnp.asarray(self._gamma_arg))
+                deep_wall += time.perf_counter() - t_disp
+                deep_shots += take
+                ep = np.asarray(ep_d)
+                solved_np = np.asarray(solved_d)[:take]
+                deep_solved += int(solved_np.sum())
+                # verdicts for BP-solved lanes (bucket-sized matmul)
+                pred = (ep[:take].astype(np.int32) @ self.O.T.astype(
+                    np.int32)) & 1
+                f = int(((pred != obs_b[:take]).any(axis=1)
+                         & solved_np).sum())
+                fails += f
+                fails_deep += f
+                unsolved = np.flatnonzero(~solved_np)
+                if unsolved.size:
+                    if self.relay_legs:
+                        rpool_det.append(det_b[unsolved])
+                        rpool_obs.append(obs_b[unsolved])
+                        rpool_n += unsolved.size
+                        dispatch_relay()
+                    else:
+                        to_osd(det_b[unsolved], obs_b[unsolved],
+                               err3, llrs3, unsolved)
+                return
+            _, det_r, obs_r, take, t_disp = item
+            out = np.zeros((take, self.N), np.int8)
+            solved_np = np.zeros(take, bool)
+            iters_np = np.zeros(take, np.int64)
+            err3, llrs3, pos_map = self._run_relay(
+                det_r, L0, llr0_d, out, solved_np, iters_np, None, None)
+            relay_wall += time.perf_counter() - t_disp
+            relay_shots += take
+            relay_solved += int(solved_np.sum())
+            pred = (out.astype(np.int32) @ self.O.T.astype(np.int32)) & 1
+            f = int(((pred != obs_r).any(axis=1) & solved_np).sum())
             fails += f
-            fails_deep += f
+            fails_relay += f
             unsolved = np.flatnonzero(~solved_np)
             if unsolved.size:
-                rowpos = pos_map[unsolved]
-                nf = next_pow2(rowpos.size)
-                posp = np.concatenate(
-                    [rowpos, np.repeat(rowpos[:1], nf - rowpos.size)])
-                gf = self._gather_failed(deep_bucket, nf)
-                bp_d, order_d = gf(err3, llrs3, jnp.asarray(posp))
-                bp_np = np.asarray(bp_d)[:, :rowpos.size].astype(np.uint8)
-                order_np = np.asarray(order_d)[:, :rowpos.size]
-                osd_futs.append(executor.submit(
-                    osd_job, det_b[unsolved], bp_np, order_np,
-                    obs_b[unsolved]))
+                to_osd(det_r[unsolved], obs_r[unsolved], err3, llrs3,
+                       pos_map[unsolved])
 
         dispatched = 0
         while dispatched < n_batches:
@@ -640,6 +738,9 @@ class StagedDemDecoder(Decoder):
         while pending:
             drain_one()
         dispatch_deep(force=True)
+        while pending:
+            drain_one()
+        dispatch_relay(force=True)
         while pending:
             drain_one()
         for fut in osd_futs:
@@ -660,24 +761,28 @@ class StagedDemDecoder(Decoder):
             "fails": fails,
             "logical_rate": fails / trials if trials else 0.0,
             "logical_ci95": [lo, hi],
-            # BP-solved by ANY stage (stage 0 or deep/relay) — the same
-            # semantics as batch_decode's solved flag; stage-0-only
+            # BP-solved by ANY stage (stage 0, deep, or relay) — the
+            # same semantics as batch_decode's solved flag; stage-0-only
             # convergence is profile["stage0_conv"]
-            "converged": ((conv0 + deep_solved) / trials
+            "converged": ((conv0 + deep_solved + relay_solved) / trials
                           if trials else 0.0),
             "throughput_shots_per_s": trials / dt if dt else 0.0,
             "device_sampled": True,
             "profile": {
                 "stage0_conv": conv0 / trials if trials else 0.0,
                 "fails_by_stage": {"stage0": fails_s0, "deep": fails_deep,
+                                   "relay": fails_relay,
                                    "osd": fails_osd},
                 "stage0_mean_iters": it0_sum / max(conv0, 1),
                 "deep_shots": deep_shots,
                 "deep_solved": deep_solved,
+                "relay_shots": relay_shots,
+                "relay_solved": relay_solved,
                 "osd_shots": osd_shots,
                 "osd_consistent": osd_consistent,
                 "wall_s": dt,
                 "deep_drain_wall_s": deep_wall,
+                "relay_drain_wall_s": relay_wall,
                 "osd_thread_s": t_osd,
                 "gammas": list(self.gammas),
                 "stage0_iters": self.stage0_iters,

@@ -186,3 +186,68 @@ def test_lane_damping_matches_scalar():
     with pytest.raises(ValueError, match="lane_damping"):
         make_minsum_decode_fn(g, 0.03, 10, lane_damping=True,
                               damping=0.3)
+
+
+def test_check_layout_equivalent():
+    """layout='check' (check-resident messages, gather-free check
+    update — the round-5 wide-DEM path) is the SAME per-edge arithmetic
+    as the var layout, but the two are different XLA programs and f32
+    reduction reassociation differs at the ~1e-6 level per iteration
+    (measured: the gap grows chaotically on never-converging lanes).
+    The honest contract is therefore decode-level equivalence, not
+    bitwise identity: same corrections recovered in the convergent
+    regime, syndrome-consistent converged lanes always, matching
+    convergence behavior under every gamma form."""
+    import jax.numpy as jnp
+
+    from ldpcdecoders_tpu.codes.graph import TannerGraph
+    from ldpcdecoders_tpu.models.minsum import make_minsum_decode_fn
+
+    H = lt.parity_check_matrix(240, 6, 3, rng=5)
+    g = TannerGraph.from_pcm(H)
+    rng = np.random.default_rng(3)
+    errs = (rng.random((64, 240)) < 0.015).astype(np.uint8)
+    syn = (errs @ H.T % 2).astype(np.uint8)
+    pr = np.full(240, 0.015)
+    L0 = jnp.asarray(np.log((1 - pr) / pr), jnp.float32)
+
+    def run(fn, *args):
+        e, c, i, l = fn(*args)
+        return (np.asarray(e), np.asarray(c), np.asarray(i),
+                np.asarray(l, np.float64))
+
+    for dtype in (jnp.float32, jnp.bfloat16):
+        fv = make_minsum_decode_fn(g, 0.015, 40, dtype=dtype,
+                                   check_every=4)
+        fc = make_minsum_decode_fn(g, 0.015, 40, dtype=dtype,
+                                   check_every=4, layout="check")
+        ev, cv, iv, lv = run(fv, syn, L0)
+        ec, cc, ic, lc = run(fc, syn, L0)
+        assert cv.mean() > 0.95 and cc.mean() > 0.95
+        # converged lanes are syndrome-consistent in both layouts
+        for e, c in ((ev, cv), (ec, cc)):
+            assert (((e[c].astype(np.uint8) @ H.T) & 1) == syn[c]).all()
+        # in the convergent regime both recover the same corrections
+        both = cv & cc
+        agree = (ev[both] == ec[both]).all(axis=1).mean()
+        assert agree > 0.98, f"converged-lane agreement {agree}"
+
+    # lane_damping gamma forms ([B] and per-variable [B, n]) accepted
+    # and behaviorally matched
+    fv = make_minsum_decode_fn(g, 0.015, 40, lane_damping=True,
+                               check_every=4)
+    fc = make_minsum_decode_fn(g, 0.015, 40, lane_damping=True,
+                               check_every=4, layout="check")
+    gam1 = jnp.asarray(rng.uniform(0.0, 0.5, 64).astype(np.float32))
+    gam2 = jnp.asarray(rng.uniform(-0.2, 0.5, (64, 240)).astype(np.float32))
+    for gam in (gam1, gam2):
+        ev, cv, _, _ = run(fv, syn, L0, gam)
+        ec, cc, _, _ = run(fc, syn, L0, gam)
+        assert abs(cv.mean() - cc.mean()) < 0.1
+        both = cv & cc
+        assert (ev[both] == ec[both]).all(axis=1).mean() > 0.95
+
+    with pytest.raises(ValueError, match="layout"):
+        make_minsum_decode_fn(g, 0.03, 10, layout="bogus")
+    with pytest.raises(ValueError, match="plain jnp"):
+        make_minsum_decode_fn(g, 0.03, 10, layout="check", use_pallas=True)
