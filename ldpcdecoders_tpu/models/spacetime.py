@@ -79,7 +79,7 @@ class SpaceTimeDecoder(Decoder):
 
     def __init__(self, H, rounds: int, per, max_iters: int, *,
                  meas_error_rate=None, decoder: str = "bposd",
-                 perfect_last: bool = True, **knobs):
+                 perfect_last: bool = True, _inner=None, **knobs):
         import scipy.sparse as sp
 
         Hs = sp.csr_matrix(H).astype(np.uint8)
@@ -99,12 +99,21 @@ class SpaceTimeDecoder(Decoder):
         self.m = self.rounds * self.block_m
         self.n = self.block_n
         self.n_cols = self.A.shape[1]  # inner variable count
-        cfg = DecoderConfig(kind=decoder, per=float(self._prior.mean()),
-                            max_iters=max_iters, **knobs)
-        # rounds == 1 && perfect_last: A == H exactly — skip the sparse
-        # detour so the inner decoder is bit-identical to single-shot
-        self.inner = cfg.build(Hs if (self.rounds == 1 and self.perfect_last)
-                               else self.A)
+        if _inner is not None:
+            # pre-built inner on the SAME column layout as self.A —
+            # the QC-layered fast path (for_bicycle) injects here
+            if (_inner.m, _inner.n) != self.A.shape:
+                raise ValueError(
+                    f"injected inner is [{_inner.m}, {_inner.n}]; the "
+                    f"space-time model is {self.A.shape}")
+            self.inner = _inner
+        else:
+            cfg = DecoderConfig(kind=decoder, per=float(self._prior.mean()),
+                                max_iters=max_iters, **knobs)
+            # rounds == 1 && perfect_last: A == H exactly — skip the
+            # sparse detour so the inner is bit-identical to single-shot
+            self.inner = cfg.build(
+                Hs if (self.rounds == 1 and self.perfect_last) else self.A)
         if not (self.inner.supports_per_override
                 and self.inner.supports_vector_prior):
             raise ValueError(
@@ -114,6 +123,112 @@ class SpaceTimeDecoder(Decoder):
             )
         self.converged_implies_syndrome_match = (
             self.inner.converged_implies_syndrome_match)
+
+    @classmethod
+    def for_bicycle(cls, code, block: str, rounds: int, per,
+                    max_iters: int, *, meas_error_rate=None,
+                    schedule: str = "layered", backend: str = "auto",
+                    alpha: float | None = None, perfect_last: bool = True,
+                    verify_lift: bool = True, **knobs):
+        """Space-time decoder for a bivariate-bicycle block with the
+        fused QC kernel as its inner (VERDICT r4 item 5).
+
+        The space-time matrix of a group-circulant code is itself
+        group-circulant: row-block ``r`` holds the stabilizer block at
+        data round ``r`` and identity monomials at measurement rounds
+        ``r-1``/``r`` (benchmarks/results/qc_spacetime_bb144_r4.json
+        measured the bb144 R=6 lift hosting EXACTLY, with the layered
+        schedule converging 100% of lanes in 60 iterations where
+        flooding leaves 0.5% to OSD).  This constructor builds that
+        lift as ``QCMinSumDecoder.from_group_terms`` and injects it as
+        the inner, with the mixed data/measurement prior
+        (``meas_error_rate != per``) carried per column through the
+        vector-prior kernel path.
+
+        Args:
+          code: registry name ("bb72", "bb144", ...) or an
+            ``(l, m, a_terms, b_terms)`` tuple (codes/bicycle.py).
+          block: 'x' (``Hx = [A | B]``) or 'z' (inverse monomials).
+          schedule: 'layered' (default — the measured win) or
+            'flooding'; backend/alpha/knobs forward to the QC decoder.
+          verify_lift: assert the QC lift equals ``spacetime_pcm``
+            element-wise before returning (cheap; skip only in tight
+            construction loops).
+        """
+        from ..codes.bicycle import BICYCLE_CODES
+        from ..codes.qc import qc_group_lift_edges
+        from .qc_minsum import QCMinSumDecoder
+
+        if isinstance(code, str):
+            if code not in BICYCLE_CODES:
+                raise ValueError(
+                    f"unknown BB code '{code}' "
+                    f"(choose from {sorted(BICYCLE_CODES)})")
+            info = BICYCLE_CODES[code]
+            l, m = info["l"], info["m"]
+            a_terms, b_terms = info["a_terms"], info["b_terms"]
+        else:
+            l, m, a_terms, b_terms = code
+        l, m = int(l), int(m)
+
+        def fwd(ts):
+            return [(int(a) % l, int(b) % m) for a, b in ts]
+
+        def inv(ts):
+            return [((l - int(a)) % l, (m - int(b)) % m) for a, b in ts]
+
+        if block == "x":
+            blocks = (fwd(a_terms), fwd(b_terms))
+        elif block == "z":
+            blocks = (inv(b_terms), inv(a_terms))
+        else:
+            raise ValueError(f"block must be 'x' or 'z', got {block!r}")
+
+        R = int(rounds)
+        if R < 1:
+            raise ValueError(f"rounds must be >= 1, got {rounds}")
+        n_meas_rounds = R - 1 if perfect_last else R
+        nb = 2 * R + n_meas_rounds
+        terms = []
+        for r in range(R):
+            for j, ts in enumerate(blocks):
+                for a, b in ts:
+                    terms.append((r, 2 * r + j, a, b))
+            if r < n_meas_rounds:  # u_{r+1} flips this round's record
+                terms.append((r, 2 * R + r, 0, 0))
+            if r >= 1:  # u_r flips it too (XOR-difference detectors)
+                terms.append((r, 2 * R + r - 1, 0, 0))
+
+        # the single-round block itself, for the outer wrapper's
+        # bookkeeping (A, priors, observables projection)
+        r0, c0, mH, nH = qc_group_lift_edges(
+            [(0, j, a, b) for j, ts in enumerate(blocks) for a, b in ts],
+            1, 2, l, m)
+        H = np.zeros((mH, nH), np.uint8)
+        H[r0, c0] = 1
+
+        q = per if meas_error_rate is None else meas_error_rate
+        from ..codes.spacetime import spacetime_prior
+
+        prior_mean = float(spacetime_prior(
+            nH, mH, R, per, q, perfect_last=perfect_last).mean())
+        inner = QCMinSumDecoder.from_group_terms(
+            terms, R, nb, (l, m), prior_mean, max_iters,
+            schedule=schedule, backend=backend, alpha=alpha, **knobs)
+        self = cls(H, R, per, max_iters, meas_error_rate=meas_error_rate,
+                   perfect_last=perfect_last, _inner=inner)
+        if verify_lift:
+            import scipy.sparse as sp
+
+            rows, cols, mA, nA = qc_group_lift_edges(terms, R, nb, l, m)
+            A_qc = sp.coo_matrix(
+                (np.ones(len(rows), np.uint8), (rows, cols)),
+                shape=(mA, nA)).tocsr()
+            if (A_qc != self.A).nnz != 0:
+                raise AssertionError(
+                    "QC space-time lift does not match spacetime_pcm — "
+                    "term construction bug")
+        return self
 
     def _prior_vec(self, per, q):
         """Full inner prior vector for (possibly overridden) rates.

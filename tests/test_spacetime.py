@@ -538,3 +538,45 @@ def test_window_device_stream_matches_host_stream():
     np.testing.assert_array_equal(E_d, E_h)
     assert info_d["windows"] == info_h["windows"]
     assert abs(info_d["converged"] - info_h["converged"]) < 1e-6
+
+
+def test_qc_layered_inner_hosts_bicycle_spacetime():
+    """VERDICT r4 item 5: SpaceTimeDecoder.for_bicycle builds the QC
+    space-time lift (verified element-wise against spacetime_pcm by the
+    constructor), carries the mixed per/q prior per column, and decodes
+    detector records syndrome-consistently."""
+    R, per, q = 3, 0.01, 0.015
+    dec = SpaceTimeDecoder.for_bicycle(
+        "bb72", "x", R, per, 60, meas_error_rate=q, backend="xla",
+        schedule="layered")
+    # the injected inner spans the full space-time model
+    assert (dec.inner.m, dec.inner.n) == dec.A.shape
+    assert dec.block_n == 72 and dec.m == R * dec.block_m
+
+    rng = np.random.default_rng(5)
+    B = 48
+    x = (rng.random((B, dec.n_cols)) < dec._prior[None, :]).astype(np.uint8)
+    det = (x @ dec.A.T.toarray() % 2).astype(np.uint8)
+    err, conv, iters, aux, stats = dec.batch_decode_detailed(det)
+    assert conv.mean() > 0.9  # layered QC inner converges like r4 measured
+    # converged lanes reproduce the detector record through the model
+    full = np.concatenate(
+        [np.asarray(aux["data_rounds"]).reshape(B, -1),
+         np.asarray(aux["meas"]).reshape(B, -1)], axis=1)
+    rec = (full.astype(np.uint8) @ dec.A.T.toarray() % 2).astype(np.uint8)
+    np.testing.assert_array_equal(rec[conv], det[conv])
+
+    # mixed prior really reaches the inner: decoding with q swapped in
+    # as a per-call override reproduces the constructor-default decode
+    err2, conv2 = dec.batch_decode(det, per=per, q=q)
+    np.testing.assert_array_equal(err, err2)
+    np.testing.assert_array_equal(conv, conv2)
+
+
+def test_qc_layered_inner_rejects_bad_blocks():
+    with pytest.raises(ValueError, match="block must be"):
+        SpaceTimeDecoder.for_bicycle("bb72", "y", 2, 0.01, 10,
+                                     backend="xla")
+    with pytest.raises(ValueError, match="unknown BB code"):
+        SpaceTimeDecoder.for_bicycle("bb999", "x", 2, 0.01, 10,
+                                     backend="xla")
