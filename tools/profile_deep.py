@@ -53,6 +53,7 @@ def main():
     ap.add_argument("--bucket", type=int, default=128)
     ap.add_argument("--members", type=int, default=6)
     ap.add_argument("--deep", type=int, default=1000)
+    ap.add_argument("--layout", default="var", choices=["var", "check"])
     ap.add_argument("--stage0-only", action="store_true")
     a = ap.parse_args()
 
@@ -77,7 +78,8 @@ def main():
 
     # stage-0: gamma 0.4, 96 iters, check_every 8
     f0 = jax.jit(make_minsum_decode_fn(
-        g, float(pr.mean()), 96, alpha=1.0, damping=0.4, check_every=8))
+        g, float(pr.mean()), 96, alpha=1.0, damping=0.4, check_every=8,
+        layout=a.layout))
     L0 = jnp.asarray(np.log((1 - pr) / pr).astype(np.float32))
     B0 = 1024
     d0 = jnp.asarray(det[:B0])
@@ -102,7 +104,7 @@ def main():
     for dtype, tag in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
         fd = jax.jit(make_minsum_decode_fn(
             g, float(pr.mean()), a.deep, alpha=1.0, dtype=dtype,
-            lane_damping=True, check_every=8))
+            lane_damping=True, check_every=8, layout=a.layout))
         Bb, K = a.bucket, a.members
         rows = np.empty((K, N), np.float32)
         rows[0] = 0.4
