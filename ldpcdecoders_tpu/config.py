@@ -125,6 +125,10 @@ class DecoderConfig:
     relay_legs: int = 0
     lam: int = 40
     lam3: int = 0
+    #: staged only: deep-member message dtype, "f32" (default) or
+    #: "bf16" — measured 1.56x faster at equal-or-better solve rate on
+    #: bb144 (round 5); a string so configs JSON round-trip
+    deep_dtype: str | None = None
 
     def __post_init__(self):
         if self.kind not in _KINDS:
@@ -222,11 +226,21 @@ class DecoderConfig:
             A, priors, *rest = H
             gammas = tuple(tuple(g) if isinstance(g, (list, tuple)) else g
                            for g in self.gammas)
+            deep_dtype = None
+            if self.deep_dtype is not None:
+                import jax.numpy as jnp
+
+                if self.deep_dtype not in ("f32", "bf16"):
+                    raise ValueError(
+                        f"deep_dtype must be 'f32' or 'bf16', got "
+                        f"{self.deep_dtype!r}")
+                deep_dtype = (jnp.bfloat16 if self.deep_dtype == "bf16"
+                              else jnp.float32)
             return StagedDemDecoder(
                 A, priors, observables=rest[0] if rest else None,
                 gammas=gammas, stage0_iters=self.stage0_iters,
                 deep_iters=self.max_iters, lam=self.lam, lam3=self.lam3,
-                relay_legs=self.relay_legs)
+                relay_legs=self.relay_legs, deep_dtype=deep_dtype)
         if k == "qc_minsum":
             if not (isinstance(H, tuple) and len(H) == 2):
                 raise ValueError(

@@ -43,6 +43,7 @@ def make_minsum_decode_fn(
     lane_damping: bool = False,
     vectorized_check: bool | None = None,
     layout: str = "var",
+    track_best: bool = False,
 ):
     """Build a jittable ``syndromes [B,m] -> (err, converged, iters, llrs)``.
 
@@ -91,6 +92,19 @@ def make_minsum_decode_fn(
         state ~33%.  Bit-identical outputs (same per-edge arithmetic
         and reduction orders; asserted in tests/test_minsum.py).
         Unsupported with use_pallas/edge_weights/per-iteration alpha.
+
+    ``track_best`` keeps, per lane, the hard decision and LLRs of the
+    iterate with the FEWEST syndrome mismatches seen at any check (the
+    best-so-far trick of the reference's BP-OTS,
+    /root/reference/src/decoders/bpots_decoder.jl:280-291, applied to
+    min-sum).  Converged lanes are unchanged (mismatch 0 wins); a
+    NON-converged lane returns its least-inconsistent iterate instead
+    of wherever the oscillation happened to stop — measured round 5:
+    every bb144 flagship failure was OSD fed a near-random final
+    state (weight-100-370 corrections against weight-25-45 truths,
+    failure_modes_r5.json), while trapped lanes routinely visit
+    mismatch-1-3 iterates on the way.  Costs one [B, n] double-write
+    per syndrome check.
     """
     m, n = graph.m, graph.n
     max_dc, max_dv = graph.max_dc, graph.max_dv
@@ -296,13 +310,24 @@ def make_minsum_decode_fn(
             jnp.int32(0),
             jnp.zeros((B,), jnp.int32),
         )
+        bigi = jnp.int32(1 << 30)
+        if track_best:
+            state0 = state0 + (
+                jnp.full((B,), bigi, jnp.int32),  # best mismatch count
+                jnp.zeros((B, n), jnp.float32),   # best err
+                jnp.broadcast_to(L0, (B, n)).astype(jnp.float32),
+            )
+
+        def mis_of(e):
+            return jnp.sum(syndrome_from(e) != syn_f, axis=-1).astype(
+                jnp.int32)
 
         def cond(st):
-            _, _, _, done, it, _ = st
+            done, it = st[3], st[4]
             return (it < max_iters) & ~jnp.all(done)
 
         def body(st):
-            nu, err, llrs, done, it, iters = st
+            nu, err, llrs, done, it, iters = st[:6]
             if per_iter_ab:
                 mu = check_update(
                     nu.reshape(B, max_dv * n), syn_flip,
@@ -326,21 +351,32 @@ def make_minsum_decode_fn(
             err = jnp.where(active[:, None], errn, err)
             llrs = jnp.where(active[:, None], total, llrs)
             if check_every == 1:
-                ok = jnp.all(syndrome_from(err) == syn_f, axis=-1)
+                mis = mis_of(err)
             else:
                 is_check = (jnp.mod(it + 1, check_every) == 0) | (
                     it + 1 >= max_iters)
-                ok = jax.lax.cond(
-                    is_check,
-                    lambda e: jnp.all(syndrome_from(e) == syn_f, axis=-1),
-                    lambda e: jnp.zeros((B,), bool),
-                    err,
-                )
+                mis = jax.lax.cond(
+                    is_check, mis_of,
+                    lambda e: jnp.full((B,), bigi, jnp.int32), err)
+            ok = mis == 0
             iters = jnp.where(ok & active, it + 1, iters)
-            return nu_n, err, llrs, done | ok, it + 1, iters
+            out = (nu_n, err, llrs, done | ok, it + 1, iters)
+            if track_best:
+                bmis, berr, bllr = st[6:]
+                better = active & (mis < bmis)
+                bmis = jnp.where(better, mis, bmis)
+                berr = jnp.where(better[:, None], err, berr)
+                bllr = jnp.where(better[:, None], llrs, bllr)
+                out = out + (bmis, berr, bllr)
+            return out
 
-        _, err, llrs, done, it, iters = jax.lax.while_loop(cond, body, state0)
+        fin = jax.lax.while_loop(cond, body, state0)
+        err, llrs, done, it, iters = fin[1], fin[2], fin[3], fin[4], fin[5]
         iters = jnp.where(done, iters, it)
+        if track_best:
+            # converged lanes froze at mismatch 0 (== their best); the
+            # rest report their least-inconsistent iterate
+            err, llrs = fin[7], fin[8]
         return err.astype(jnp.int8), done, iters, llrs
 
     def decode_check(syndromes, L0=None, gamma=None):
@@ -382,13 +418,24 @@ def make_minsum_decode_fn(
             jnp.int32(0),
             jnp.zeros((B,), jnp.int32),
         )
+        bigi = jnp.int32(1 << 30)
+        if track_best:
+            state0 = state0 + (
+                jnp.full((B,), bigi, jnp.int32),
+                jnp.zeros((B, n), jnp.float32),
+                jnp.broadcast_to(L0, (B, n)).astype(jnp.float32),
+            )
+
+        def mis_of(e):
+            return jnp.sum(syndrome_from(e) != syn_f, axis=-1).astype(
+                jnp.int32)
 
         def cond(st):
-            _, _, _, done, it, _ = st
+            done, it = st[3], st[4]
             return (it < max_iters) & ~jnp.all(done)
 
         def body(st):
-            nu, err, llrs, done, it, iters = st
+            nu, err, llrs, done, it, iters = st[:6]
             mu = check_core(nu, syn_flip)
             Mg = jnp.take(mu.reshape(B, max_dc * m), v2c,
                           axis=1).reshape(B, max_dv, n)
@@ -405,22 +452,30 @@ def make_minsum_decode_fn(
             err = jnp.where(active[:, None], errn, err)
             llrs = jnp.where(active[:, None], total, llrs)
             if check_every == 1:
-                ok = jnp.all(syndrome_from(err) == syn_f, axis=-1)
+                mis = mis_of(err)
             else:
                 is_check = (jnp.mod(it + 1, check_every) == 0) | (
                     it + 1 >= max_iters)
-                ok = jax.lax.cond(
-                    is_check,
-                    lambda e: jnp.all(syndrome_from(e) == syn_f, axis=-1),
-                    lambda e: jnp.zeros((B,), bool),
-                    err,
-                )
+                mis = jax.lax.cond(
+                    is_check, mis_of,
+                    lambda e: jnp.full((B,), bigi, jnp.int32), err)
+            ok = mis == 0
             iters = jnp.where(ok & active, it + 1, iters)
-            return nu_n, err, llrs, done | ok, it + 1, iters
+            out = (nu_n, err, llrs, done | ok, it + 1, iters)
+            if track_best:
+                bmis, berr, bllr = st[6:]
+                better = active & (mis < bmis)
+                bmis = jnp.where(better, mis, bmis)
+                berr = jnp.where(better[:, None], err, berr)
+                bllr = jnp.where(better[:, None], llrs, bllr)
+                out = out + (bmis, berr, bllr)
+            return out
 
-        _, err, llrs, done, it, iters = jax.lax.while_loop(
-            cond, body, state0)
+        fin = jax.lax.while_loop(cond, body, state0)
+        err, llrs, done, it, iters = fin[1], fin[2], fin[3], fin[4], fin[5]
         iters = jnp.where(done, iters, it)
+        if track_best:
+            err, llrs = fin[7], fin[8]
         return err.astype(jnp.int8), done, iters, llrs
 
     return decode_check if layout == "check" else decode

@@ -209,10 +209,16 @@ class StagedDemDecoder(Decoder):
             self.graph, float(priors.mean()), self.stage0_iters,
             alpha=alpha, dtype=dtype, damping=self.stage0_gamma,
             check_every=check_every, layout=self.layout))
+        # track_best: a trapped member lane reports its LEAST-
+        # inconsistent iterate, not wherever the oscillation stopped —
+        # the round-5 fix for OSD being fed near-random posteriors
+        # (failure_modes_r5.json: weight-100-370 corrections against
+        # weight-25-45 truths on every measured flagship failure)
         self._deep_raw = make_minsum_decode_fn(
             self.graph, float(priors.mean()), self.deep_iters,
             alpha=alpha, dtype=deep_dtype, lane_damping=True,
-            check_every=check_every, layout=self.layout)
+            check_every=check_every, layout=self.layout,
+            track_best=True)
         self._jnp = jnp
         self._jax = jax
         self._deep_cache: dict[int, object] = {}

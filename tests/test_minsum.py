@@ -251,3 +251,36 @@ def test_check_layout_equivalent():
         make_minsum_decode_fn(g, 0.03, 10, layout="bogus")
     with pytest.raises(ValueError, match="plain jnp"):
         make_minsum_decode_fn(g, 0.03, 10, layout="check", use_pallas=True)
+
+
+def test_track_best_returns_least_inconsistent_iterate():
+    """track_best=True: converged lanes are bit-identical to the plain
+    decode; non-converged lanes report an iterate whose syndrome
+    mismatch is <= the plain decode's final state (the BP-OTS
+    best-so-far trick, reference bpots_decoder.jl:280-291)."""
+    from ldpcdecoders_tpu.codes.graph import TannerGraph
+    from ldpcdecoders_tpu.models.minsum import make_minsum_decode_fn
+
+    rng = np.random.default_rng(11)
+    # loopy random graph at high noise: plenty of non-converged lanes
+    H = (rng.random((30, 120)) < 0.2).astype(np.uint8)
+    H[:, H.sum(axis=0) == 0] = 1
+    g = TannerGraph.from_pcm(H)
+    syn = rng.integers(0, 2, (48, 30)).astype(np.uint8)
+    for layout in ("var", "check"):
+        f0 = make_minsum_decode_fn(g, 0.05, 24, check_every=4,
+                                   layout=layout)
+        f1 = make_minsum_decode_fn(g, 0.05, 24, check_every=4,
+                                   layout=layout, track_best=True)
+        e0, c0, i0, l0 = (np.asarray(x) for x in f0(syn, None))
+        e1, c1, i1, l1 = (np.asarray(x) for x in f1(syn, None))
+        np.testing.assert_array_equal(c0, c1)
+        np.testing.assert_array_equal(i0, i1)
+        conv = c0
+        np.testing.assert_array_equal(e0[conv], e1[conv])
+        np.testing.assert_array_equal(l0[conv], l1[conv])
+        assert (~conv).any(), "test needs non-converged lanes"
+        mis0 = ((e0.astype(np.uint8) @ H.T % 2) != syn).sum(axis=1)
+        mis1 = ((e1.astype(np.uint8) @ H.T % 2) != syn).sum(axis=1)
+        assert (mis1[~conv] <= mis0[~conv]).all()
+        assert mis1[~conv].sum() < mis0[~conv].sum()  # strictly better somewhere

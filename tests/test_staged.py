@@ -186,3 +186,14 @@ def test_staged_config_round_trip_and_build():
     assert dec.lam == 16 and dec.lam3 == 8 and dec.deep_iters == 96
     with pytest.raises(ValueError, match="staged"):
         cfg2.build(A)  # needs the (A, priors) tuple
+    # deep_dtype rides the JSON round-trip as a string
+    import jax.numpy as jnp
+
+    cfg3 = lt.DecoderConfig.from_json(lt.DecoderConfig(
+        kind="staged", per=0.003, max_iters=64, gammas=(0.3,),
+        deep_dtype="bf16").to_json())
+    dec3 = cfg3.build((A, pr))
+    assert dec3.deep_dtype == jnp.bfloat16
+    with pytest.raises(ValueError, match="deep_dtype"):
+        lt.DecoderConfig(kind="staged", per=0.003,
+                         deep_dtype="f16").build((A, pr))
