@@ -108,7 +108,7 @@ def main():
         joint = StagedDemDecoder(
             A, pr, observables=O, gammas=gammas, stage0_iters=a.stage0,
             deep_iters=a.deep, lam=a.lam, lam3=a.lam3, check_every=8,
-            relay_legs=a.relay, deep_dtype=jnp.bfloat16)
+            relay_legs=a.relay, deep_dtype=jnp.bfloat16, layout="check")
         t0 = time.perf_counter()
         pj = []
         for lo in range(0, a.shots, a.batch):
@@ -129,7 +129,8 @@ def main():
         A, pr, detectors_per_round=dpr, window=a.window, commit=a.commit,
         observables=O, decoder="staged", max_iters=a.deep,
         gammas=gammas, stage0_iters=a.stage0, lam=a.lam, lam3=a.lam3,
-        check_every=8, relay_legs=a.relay, deep_dtype=jnp.bfloat16)
+        check_every=8, relay_legs=a.relay, deep_dtype=jnp.bfloat16,
+        layout="check")
     t0 = time.perf_counter()
     pw = []
     infos = []
