@@ -71,6 +71,8 @@ def main():
     ap.add_argument("--stage0", type=int, default=96)
     ap.add_argument("--deep", type=int, default=500)
     ap.add_argument("--deep-dtype", default="bf16", choices=["f32", "bf16"])
+    ap.add_argument("--stage0-dtype", default="f32", choices=["f32", "bf16"])
+    ap.add_argument("--relay-iters", type=int, default=None)
     ap.add_argument("--layout", default="check", choices=["var", "check"])
     ap.add_argument("--lam", type=int, default=60)
     ap.add_argument("--lam3", type=int, default=40)
@@ -93,7 +95,8 @@ def main():
     dec = StagedDemDecoder(
         A, pr, observables=O, gammas=gammas, stage0_iters=a.stage0,
         deep_iters=a.deep, lam=a.lam, lam3=a.lam3, check_every=8,
-        relay_legs=a.relay, layout=a.layout,
+        relay_legs=a.relay, layout=a.layout, relay_iters=a.relay_iters,
+        dtype=jnp.bfloat16 if a.stage0_dtype == "bf16" else jnp.float32,
         deep_dtype=jnp.bfloat16 if a.deep_dtype == "bf16" else jnp.float32)
     st = dec.run_eval(a.shots, batch=a.batch, deep_bucket=a.deep_bucket,
                       pipeline=a.pipeline, seed=a.seed,
@@ -105,6 +108,8 @@ def main():
         "config": {"members": a.members, "relay_legs": a.relay,
                    "stage0_iters": a.stage0, "deep_iters": a.deep,
                    "deep_dtype": a.deep_dtype, "layout": a.layout,
+                   "stage0_dtype": a.stage0_dtype,
+                   "relay_iters": a.relay_iters,
                    "lam": a.lam, "lam3": a.lam3, "batch": a.batch,
                    "deep_bucket": a.deep_bucket},
         "device": str(jax.devices()[0]),

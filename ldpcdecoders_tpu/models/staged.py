@@ -80,6 +80,10 @@ class StagedDemDecoder(Decoder):
         is THE accuracy lever — failures track OSD load ~1:3 while OSD
         search depth is saturated (lam 100/lam3 60 == lam 60/lam3 40).
       relay_range: (lo, hi) for relay-leg gamma draws.
+      relay_iters: iteration cap of relay legs (defaults to
+        ``deep_iters``).  Relay-BP favors SHORTER legs with more
+        restarts per compute budget; a smaller cap here buys extra
+        legs at constant cost.
       hbm_bytes: optional explicit device-memory budget for the
         batch/bucket ceilings (utils/hbm.py detects when omitted).
       layout: message residency of the stage-0/deep programs ("var"
@@ -93,7 +97,8 @@ class StagedDemDecoder(Decoder):
                  min_bucket: int = 32, max_bucket: int | None = None,
                  relay_legs: int = 0, osd_rank: str = "abs_llr",
                  relay_range: tuple = (-0.24, 0.66),
-                 hbm_bytes: int | None = None, layout: str = "var"):
+                 hbm_bytes: int | None = None, layout: str = "var",
+                 relay_iters: int | None = None):
         import jax.numpy as jnp
         import scipy.sparse as sp
 
@@ -219,6 +224,16 @@ class StagedDemDecoder(Decoder):
             alpha=alpha, dtype=deep_dtype, lane_damping=True,
             check_every=check_every, layout=self.layout,
             track_best=True)
+        self.relay_iters = (self.deep_iters if relay_iters is None
+                            else int(relay_iters))
+        self._relay_raw = (self._deep_raw
+                           if self.relay_iters == self.deep_iters
+                           else make_minsum_decode_fn(
+                               self.graph, float(priors.mean()),
+                               self.relay_iters, alpha=alpha,
+                               dtype=deep_dtype, lane_damping=True,
+                               check_every=check_every,
+                               layout=self.layout, track_best=True))
         self._jnp = jnp
         self._jax = jax
         self._deep_cache: dict[int, object] = {}
@@ -227,11 +242,14 @@ class StagedDemDecoder(Decoder):
 
     # -- jitted programs ---------------------------------------------------
 
-    def _deep_step(self, Bb: int):
+    def _deep_step(self, Bb: int, relay: bool = False):
         """One compiled program: K-member deep ensemble on a ``[Bb, D]``
-        bucket with on-device syndrome-consistent ML pick."""
-        if Bb in self._deep_cache:
-            return self._deep_cache[Bb]
+        bucket with on-device syndrome-consistent ML pick.  ``relay``
+        selects the relay-leg iteration cap (see ``relay_iters``)."""
+        key = (Bb, relay and self._relay_raw is not self._deep_raw)
+        if key in self._deep_cache:
+            return self._deep_cache[key]
+        raw = self._relay_raw if key[1] else self._deep_raw
         jax, jnp = self._jax, self._jnp
         K = self.K
 
@@ -243,7 +261,7 @@ class StagedDemDecoder(Decoder):
             # relay-style restarts reuse this program with fresh draws
             gam_t = jnp.repeat(gam_rows, Bb, axis=0)
             syn_t = jnp.tile(det, (K, 1))
-            err, conv, iters, llrs = self._deep_raw(syn_t, L0, gam_t)
+            err, conv, iters, llrs = raw(syn_t, L0, gam_t)
             score = jnp.dot(err.astype(jnp.float32), llr0,
                             preferred_element_type=jnp.float32)
             score = score.reshape(K, Bb)
@@ -259,7 +277,7 @@ class StagedDemDecoder(Decoder):
                     err3.astype(jnp.int8), llrs.reshape(K, Bb, self.N))
 
         fn = jax.jit(deep)
-        self._deep_cache[Bb] = fn
+        self._deep_cache[key] = fn
         return fn
 
     def _relay_rows(self, leg: int) -> np.ndarray:
@@ -302,7 +320,7 @@ class StagedDemDecoder(Decoder):
             idxp = np.concatenate(
                 [un, np.repeat(un[:1], Bb_leg - un.size)])
             rows = jnp.asarray(self._relay_rows(leg))
-            ep, sv, it2, err3, llrs3 = self._deep_step(Bb_leg)(
+            ep, sv, it2, err3, llrs3 = self._deep_step(Bb_leg, relay=True)(
                 jnp.asarray(det_np[idxp]), L0, llr0_d, rows)
             sv_np = np.asarray(sv)[: un.size]
             newly = un[sv_np]
