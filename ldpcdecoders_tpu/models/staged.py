@@ -537,12 +537,16 @@ class StagedDemDecoder(Decoder):
         if key in self._gather_cache:
             return self._gather_cache[key]
         jax, jnp = self._jax, self._jnp
-        AdT = jnp.asarray(
-            np.asarray(self.A.todense()).T.astype(np.float32))
-        OdT = jnp.asarray(self.O.T.astype(np.float32))
-        prior_d = jnp.asarray(self._prior, jnp.float32)
+        # A^T / O^T / priors are TRACED ARGUMENTS, not baked constants:
+        # at bb144 R=12 the dense A^T is 464 MB, and constants that
+        # size overflow the remote-compile transport (HTTP 413) — the
+        # arrays live on device once and are passed by reference
+        AdT = jax.device_put(jnp.asarray(
+            np.asarray(self.A.todense()).T.astype(np.float32)))
+        OdT = jax.device_put(jnp.asarray(self.O.T.astype(np.float32)))
+        prior_d = jax.device_put(jnp.asarray(self._prior, jnp.float32))
 
-        def step(noise_seed, L0):
+        def step(noise_seed, L0, AdT, OdT, prior_d):
             x = jax.random.bernoulli(
                 jax.random.PRNGKey(noise_seed), prior_d, (b, self.N))
             xf = x.astype(jnp.float32)
@@ -558,7 +562,11 @@ class StagedDemDecoder(Decoder):
                 jnp.sum(jnp.where(conv, iters, 0), dtype=jnp.int32)])
             return counts, conv, det, obs_t
 
-        fn = jax.jit(step)
+        jitted = jax.jit(step)
+
+        def fn(noise_seed, L0):
+            return jitted(noise_seed, L0, AdT, OdT, prior_d)
+
         self._gather_cache[key] = fn
         return fn
 

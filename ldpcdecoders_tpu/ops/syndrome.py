@@ -22,16 +22,17 @@ import numpy as np
 __all__ = ["syndrome_of", "syndrome_matches", "make_syndrome_fn"]
 
 
-# Dense-H cutoff for the MXU syndrome path.  Raised 4M -> 40M in round 4,
-# 40M -> 130M in round 5: the bb144 circuit-level DEM (864 x 31,648 = 27M,
-# 108 MB f32) pays ~1 ms per check through the max_dc=294 padded gather
-# but <0.3 ms through the systolic array, and the R=12 DEM (1,728 x
-# 67,072 = 116M, 464 MB f32 — well inside a v5e's HBM) additionally
-# avoids the [B, max_dc, m] gather temporaries that drove the round-4
-# OOM.  Row sums stay far inside f32's exact-integer range (max_dc ~ 300
-# << 2^24); do NOT drop the constant to bf16 — its 8 mantissa bits stop
-# being exact at sums > 256.
-_DENSE_SYNDROME_MAX_ELEMS = 130_000_000
+# Dense-H cutoff for the MXU syndrome path.  Raised 4M -> 40M in round 4:
+# the bb144 circuit-level DEM (864 x 31,648 = 27M, 108 MB f32) pays ~1 ms
+# per check through the max_dc=294 padded gather but <0.3 ms through the
+# systolic array; row sums stay far inside f32's exact-integer range.
+# A round-5 attempt at 130M (to put the R=12 DEM's 464 MB H on the MXU
+# too) was REVERTED: H is baked into the program as a constant, and the
+# axon remote-compile transport rejects program bodies that large
+# (HTTP 413) — the cutoff is a program-size limit as much as a speed
+# tradeoff.  Do not raise past ~40M without moving H to a traced
+# argument.
+_DENSE_SYNDROME_MAX_ELEMS = 40_000_000
 
 
 def make_syndrome_fn(graph):
