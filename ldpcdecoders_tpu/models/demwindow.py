@@ -32,15 +32,20 @@ inner decoder is the staged production path (models/staged.py) by
 default, so every window's output is syndrome-consistent within its
 truncated model.
 
-Accuracy guidance (measured, benchmarks/results/streaming_r4.json):
-the construction decodes at 1.16-1.19x of the joint LER on models
-whose windows CONVERGE (phenomenological space-time graphs; synthetic
-span-3 DEMs at ~93% window convergence).  On dense circuit DEMs such
-as bb144 (84% of mechanisms span 2-3 rounds), W of 3-5 rounds drops
-window convergence to ~0.64 and the OSD completion then commits wrong
-corrections — choose W several rounds beyond the maximum mechanism
-span and an inner strong enough that windows converge like the joint
-problem does, or stream the phenomenological model instead.
+Accuracy guidance (measured; streaming_r4.json and round-5
+demwindow_bb144_r5.jsonl): the construction decodes at 1.16-1.19x of
+the joint LER on models whose windows CONVERGE (phenomenological
+space-time graphs; synthetic span-3 DEMs at ~93% window convergence).
+On dense circuit DEMs such as bb144, accuracy is limited by WINDOW
+CONVERGENCE under future truncation, not by inner strength: at R=12
+p=0.003 the round-5 production inner lifted W=6/C=2 windows from the
+round-4 reading of LER 0.31 / conv 0.64 (weak inner, W=5) to LER
+0.049 / conv 0.81 — a 6x gain — while the SAME inner decodes the
+joint problem at 1e-3.  Choose W several rounds beyond the maximum
+mechanism span, commit well inside the window, and expect a gap to
+joint decoding whenever window convergence trails joint convergence;
+for hard circuit DEMs prefer the joint staged decoder unless the
+stream is unbounded.
 """
 
 from __future__ import annotations
